@@ -1,0 +1,146 @@
+"""Snapshot-committed Parquet tables (Iceberg-compatible semantics).
+
+The sandbox has no Iceberg/Delta jars, so this module provides the subset of
+Iceberg semantics the crawl loop needs — atomic snapshot commit, append vs
+overwrite, time travel, resume-from-latest — over plain partitioned Parquet:
+
+* data for each commit is written to ``<root>/<table>/snap-NNNNNN/`` first;
+* the commit becomes visible only when ``<root>/<table>/_manifests/NNNNNN.json``
+  appears, written via tempfile + ``os.rename`` (atomic on POSIX);
+* a manifest lists **all** live data dirs for that snapshot (append = previous
+  dirs + new dir; overwrite = new dir only), so readers never see partial
+  writes and a killed job resumes from the last complete manifest.
+
+On a real cluster, swap this for the Iceberg catalog
+(``spark.sql.catalog.* = org.apache.iceberg.spark.SparkCatalog``) — the crawl
+loop only uses commit/read/latest semantics shared by both.
+
+The reference has no durable state at all (Bloom filter is in-RAM and lost on
+restart, url_frontier.py:24; Redis is flushed on init, url_frontier.py:41);
+checkpointed tables are what make the crawl resumable per the north_rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    mode: str
+    dirs: list[str]
+    meta: dict[str, Any]
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _mandir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_manifests")
+
+    # -- snapshot listing ------------------------------------------------------
+    def snapshots(self, table: str) -> list[Snapshot]:
+        mandir = self._mandir(table)
+        if not os.path.isdir(mandir):
+            return []
+        out = []
+        for f in sorted(os.listdir(mandir)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(mandir, f)) as fh:
+                    d = json.load(fh)
+                out.append(
+                    Snapshot(d["snapshot_id"], d["mode"], d["dirs"], d.get("meta", {}))
+                )
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue  # torn/partial manifest writes are invisible
+        return out
+
+    def latest(self, table: str) -> Snapshot | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    # -- commit ----------------------------------------------------------------
+    def commit(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        meta: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        assert mode in ("overwrite", "append")
+        prev = self.latest(table)
+        sid = (prev.snapshot_id + 1) if prev else 0
+        data_dir = os.path.join(self._tdir(table), f"snap-{sid:06d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        dirs = [data_dir] if mode == "overwrite" else (prev.dirs if prev else []) + [
+            data_dir
+        ]
+        snap = Snapshot(sid, mode, dirs, meta or {})
+        self._write_manifest(table, snap)
+        return snap
+
+    def commit_empty(self, table: str, schema, meta: dict[str, Any] | None = None):
+        """Commit an empty overwrite snapshot with the given schema."""
+        df = self.spark.createDataFrame([], schema)
+        return self.commit(table, df, mode="overwrite", meta=meta)
+
+    def _write_manifest(self, table: str, snap: Snapshot) -> None:
+        mandir = self._mandir(table)
+        os.makedirs(mandir, exist_ok=True)
+        payload = json.dumps(
+            {
+                "snapshot_id": snap.snapshot_id,
+                "mode": snap.mode,
+                "dirs": snap.dirs,
+                "meta": snap.meta,
+            },
+            indent=1,
+        )
+        fd, tmp = tempfile.mkstemp(dir=mandir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        os.rename(tmp, os.path.join(mandir, f"{snap.snapshot_id:06d}.json"))
+
+    # -- read ------------------------------------------------------------------
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame | None:
+        if snapshot_id is None:
+            snap = self.latest(table)
+        else:
+            snap = next(
+                (s for s in self.snapshots(table) if s.snapshot_id == snapshot_id),
+                None,
+            )
+        if snap is None or not snap.dirs:
+            return None
+        return self.spark.read.parquet(*snap.dirs)
+
+    def exists(self, table: str) -> bool:
+        return self.latest(table) is not None
+
+    # -- maintenance -------------------------------------------------------------
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        """Drop manifests newer than snapshot_id (time travel back)."""
+        mandir = self._mandir(table)
+        for f in os.listdir(mandir):
+            if f.endswith(".json") and int(f[:-5]) > snapshot_id:
+                os.remove(os.path.join(mandir, f))
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._tdir(table), ignore_errors=True)

@@ -1,0 +1,45 @@
+"""Crawl configuration.
+
+Mirrors the knobs of the reference's ``crawler/config/settings.py`` that have
+meaning in the iterative-batch model (SURVEY.md §0 "adopted semantics"):
+
+* ``politeness_budget``  — per-host fetches per round.  The reference enforces a
+  wall-clock gap ``POLITENESS_DELAY`` between hits on a host
+  (url_frontier.py:93-99, settings.py:18); in batch rounds this becomes a
+  per-host token budget per round (budget = round_wall_secs / POLITENESS_DELAY).
+* ``batch_size``         — global per-round dequeue cap, from the reference's
+  ``URL_BATCH_SIZE`` (settings.py:58) / ``get_next_urls(batch_size)``
+  (url_frontier.py:76).
+* ``bloom_capacity`` / ``bloom_fpr`` — the reference's
+  ``BloomFilter(max_elements=10_000_000, error_rate=0.001)`` (url_frontier.py:24).
+* ``max_retries``        — settings.py:35.
+* ``user_agent``         — settings.py:64-66.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness / round sizing
+    politeness_budget: int = 5
+    batch_size: int = 1000
+    max_rounds: int = 5
+
+    # URL-seen structure
+    use_bloom: bool = False  # False => exact anti-join (the small-scale oracle path)
+    bloom_capacity: int = 10_000_000
+    bloom_fpr: float = 0.001
+    bloom_buckets: int = 64
+
+    # skew handling: salted two-stage per-host top-k (SURVEY.md §4.1)
+    salt_buckets: int = 8
+
+    # retry policy (fetcher/crawler.py:124-126, settings.py:35)
+    max_retries: int = 3
+
+    user_agent: str = (
+        "Mozilla/5.0 (compatible; CustomCrawler/1.0; +http://example.com/bot)"
+    )

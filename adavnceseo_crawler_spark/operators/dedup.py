@@ -1,0 +1,261 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact, MinHash+LSH, SimHash, and token-set Jaccard — all expressed as
+DataFrame dataflows (shuffle-on-key, map-side combine); MinHash/SimHash
+signatures are computed in vectorized pandas UDFs (numpy batch math), the
+banding/bucketing joins stay JVM-side.
+
+Scale notes (100 TB): the LSH paths avoid the O(n²) pair space — candidates
+only form within equal (band, band-hash) buckets; exact dedup is a single
+hash-aggregate.  Brute-force Jaccard is provided for oracle checks at small n.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text hash (hash-groupBy dedup)."""
+    w = Window.partitionBy("text_hash").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def jaccard_pairs(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "word",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Token-set Jaccard similarity pairs ≥ threshold.
+
+    Input: exploded (id, token) rows.  shared/(|A|+|B|-shared) via a
+    self-equi-join on token — the join explodes on very frequent tokens, so at
+    scale feed this only LSH candidate pairs (see minhash_candidates)."""
+    g = tokens.select(id_col, token_col).distinct()
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col(id_col).alias("id_a"), F.col(token_col).alias("tok"))
+    b = g.select(F.col(id_col).alias("id_b"), F.col(token_col).alias("tok"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+    )
+    return j.filter(F.col("jac") >= threshold).select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+_MERSENNE = (1 << 61) - 1
+
+
+def _h64(s: str) -> int:
+    """Deterministic 64-bit string hash (executor-stable, unlike hash())."""
+    return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _hash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)  # fixed seed: signatures are deterministic
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+    """pandas UDF: text -> array<long> MinHash signature over k-char shingles."""
+    a_p, b_p = _hash_params(n_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < shingle_k:
+                out.append([0] * n_hashes)
+                continue
+            # blake2b, not builtin hash(): str hashing is process-seeded and
+            # would differ across Python workers
+            shingles = {
+                _h64(t[i : i + shingle_k]) & 0x7FFFFFFFFFFFFFFF
+                for i in range(len(t) - shingle_k + 1)
+            }
+            sh = np.fromiter(shingles, dtype=np.int64)
+            # (a*x + b) mod p for all hash fns × all shingles, min per fn
+            sig = (
+                (sh[None, :].astype(object) * a_p[:, None] + b_p[:, None])
+                % _MERSENNE
+            ).min(axis=1)
+            out.append([int(x) for x in sig])
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash → band → bucket-join candidate pairs (id_a < id_b).
+
+    rows_per_band = n_hashes/bands; docs sharing any full band land in the
+    same bucket.  The bucket join is an equi-join on (band, band_hash) — no
+    cross product, shuffles on the bucket key only."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        make_minhash_udf(n_hashes, shingle_k)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows + 1, rows).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidates verified by signature-estimated Jaccard ≥ threshold."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        make_minhash_udf(n_hashes, shingle_k)(F.col(text_col)).alias("sig"),
+    ).cache()
+    cand = minhash_candidates(df, text_col, id_col, n_hashes, bands, shingle_k)
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(float(n_hashes)),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def make_simhash_udf(seed: int = 42):
+    """pandas UDF: text -> 64-bit SimHash over whitespace tokens."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.split():
+                h = _h64(tok)
+                bits = np.frombuffer(
+                    np.uint64(h).tobytes(), dtype=np.uint8
+                )
+                bits = np.unpackbits(bits, bitorder="little").astype(np.int64)
+                acc += 2 * bits - 1
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            # to signed 64-bit
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    return simhash
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit SimHash band (4 bands ⇒ catches all
+    pairs with Hamming distance ≤ 3 by pigeonhole)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh")
+    )
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("sh"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bits"),
+        )
+        for i in range(4)
+    ]
+    banded = sh.select(
+        "id", "sh", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", "sh", "bb.band", "bb.bits")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bits")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bits")
+    pairs = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,47 @@
+"""Fetch (S5/J6): scheduled URLs → page content.
+
+Sandbox semantics: "the web" is the synthetic Iceberg-style ``pages`` table and
+a fetch is an equi-join of the scheduled batch against it (SURVEY.md §2.1 S5).
+On a real cluster the same slot is a ``mapInPandas`` stage doing batched HTTP
+per partition (aiohttp per the reference, fetcher/crawler.py:160-183) — the
+join keeps everything else identical and deterministic for tests.
+
+Hot-host skew on the join key is handled by AQE skew-join splitting
+(spark.sql.adaptive.skewJoin.enabled) and by the politeness budget, which caps
+per-host batch size before the join.
+
+``crawl_time`` is a deterministic stand-in for wall-clock fetch latency
+(reference records real elapsed seconds): derived JVM-side from the first 8
+hex chars of sha256(url) — see synth.crawl_time_of for the mirror formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def crawl_time_col(url_hash) -> "F.Column":
+    """0.1 + (int(sha256(url)[:8], 16) % 900) / 1000 — matches synth.crawl_time_of."""
+    return (
+        F.lit(0.1)
+        + F.pmod(F.conv(F.substring(url_hash, 1, 8), 16, 10).cast("long"), F.lit(900))
+        / F.lit(1000.0)
+    )
+
+
+def fetch_batch(scheduled: DataFrame, web: DataFrame) -> DataFrame:
+    """Left join the scheduled batch against the web; adds html/warc_ts/
+    success/status_code/crawl_time columns."""
+    fetched = scheduled.join(
+        web.select("url", "html", "warc_ts", F.col("lang").alias("src_lang")),
+        "url",
+        "left",
+    )
+    return (
+        fetched.withColumn("success", F.col("html").isNotNull())
+        .withColumn(
+            "status_code", F.when(F.col("success"), 200).otherwise(404)
+        )
+        .withColumn("crawl_time", crawl_time_col(F.col("url_hash")))
+    )

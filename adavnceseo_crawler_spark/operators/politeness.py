@@ -1,0 +1,63 @@
+"""Per-host politeness budget + priority dequeue (F4 + W1).
+
+The reference enforces a wall-clock gap per host while dequeuing score-ordered
+batches (url_frontier.py:76-114, settings.py:18).  Adopted batch semantics
+(SURVEY.md §0): at most ``budget`` URLs per host per round, highest score
+first, ties broken by URL ascending; then a global top-``batch_size`` cut.
+
+Scale design (SURVEY.md §4.1, north_rule "skew handled explicitly"): a naive
+``Window.partitionBy(host)`` puts every URL of a hot host in one task.  With
+Zipf hosts the top host can hold a large fraction of the frontier, so the
+per-host top-k runs in two stages:
+
+  stage 1: top-``budget`` per (host, salt) — salt = xxhash64(url) % S spreads
+           one hot host over S tasks; keeps ≤ S×budget rows per host;
+  stage 2: exact top-``budget`` per host over the ≤ S×budget survivors.
+
+The result is identical to the single-stage window (top-k is decomposable),
+but the heavy first pass is skew-free.  The global cut is a
+TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_host_topk(
+    df: DataFrame,
+    budget: int,
+    salt_buckets: int = 8,
+    host: str = "host",
+    url: str = "url",
+    score: str = "score",
+) -> DataFrame:
+    order = [F.desc(score), F.asc(url)]
+    if salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(url)), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(host, "_salt").orderBy(*order)
+        df = (
+            salted.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= budget)
+            .drop("_rn1", "_salt")
+        )
+    w2 = Window.partitionBy(host).orderBy(*order)
+    return (
+        df.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= budget)
+        .drop("_rn2")
+    )
+
+
+def schedule_batch(
+    df: DataFrame,
+    budget: int,
+    batch_size: int,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Politeness top-k then global priority cut (score desc, url asc)."""
+    per_host = per_host_topk(df, budget, salt_buckets)
+    return per_host.orderBy(F.desc("score"), F.asc("url")).limit(batch_size)

@@ -1,0 +1,143 @@
+"""Multi-round crawl loop with checkpoint/resume (M3, north_rule).
+
+``bootstrap`` seeds the catalog (web, robots, frontier round 0, empty state
+tables); ``run_crawl`` executes rounds until the frontier drains or
+``max_rounds`` is hit, committing a checkpoint manifest after each round.
+A killed job resumes from the last complete checkpoint: every table the next
+round reads was committed before the checkpoint, and rounds are deterministic
+functions of committed state, so the resumed run reproduces identical
+downstream ordering (tested in tests/test_resume.py).
+
+The reference, by contrast, cannot resume at all: its Bloom filter is
+in-process RAM (url_frontier.py:24) and Redis is flushed on startup
+(url_frontier.py:41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..catalog import SnapshotCatalog
+from ..config import CrawlConfig
+from ..functions.urls import canonicalize_url_udf, normalize_scheme, with_url_parts
+from ..operators import bloom as bloomops
+from .round import round_ts, run_round
+
+
+def seed_frontier(seeds: DataFrame) -> DataFrame:
+    """S1/F1/U12: scheme-normalize, canonicalize, dedup seed URLs (main.py:84-108)."""
+    now = round_ts(0)
+    canon = (
+        seeds.select(normalize_scheme(F.col("url")).alias("url"))
+        .select(canonicalize_url_udf(F.col("url")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+    )
+    canon = with_url_parts(canon)
+    return canon.select(
+        F.lit(0).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(now).alias("discovered_ts"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).alias("retries"),
+    )
+
+
+def bootstrap(
+    spark: SparkSession,
+    cat: SnapshotCatalog,
+    cfg: CrawlConfig,
+    seeds: DataFrame,
+    web: DataFrame,
+    robots: DataFrame,
+) -> None:
+    cat.commit("web", web, mode="overwrite")
+    cat.commit("robots", robots, mode="overwrite")
+    frontier0 = seed_frontier(seeds)
+    cat.commit("frontier", frontier0, mode="overwrite", meta={"round": 0})
+    seen0 = cat.read("frontier").select(
+        "url_hash", "url", F.lit(0).alias("round")
+    )
+    cat.commit("url_seen", seen0, mode="append", meta={"round": 0})
+    if cfg.use_bloom:
+        params = bloomops.BloomParams(
+            cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_buckets
+        )
+        shards0 = bloomops.empty_shards(spark, params)
+        seeds_cand = cat.read("frontier").select("url", "url_hash", "host", "depth")
+        _, shards1 = bloomops.filter_and_update(seeds_cand, shards0.select("bucket", "bitset", "n_items"), params)
+        cat.commit(
+            "bloom_shards",
+            shards1.withColumn("round", F.lit(0)),
+            mode="overwrite",
+            meta={"round": 0},
+        )
+    cat.commit_empty("url_metadata", schemas.URL_METADATA)
+    cat.commit_empty("crawl_log", schemas.CRAWL_LOG)
+    cat.commit_empty("domain_stats", schemas.DOMAIN_STATS)
+    _checkpoint(spark, cat, -1, {})
+
+
+TABLES = (
+    "web", "robots", "frontier", "url_seen", "bloom_shards",
+    "url_metadata", "domain_stats", "crawl_log", "pages", "parsed",
+    "round_metrics",
+)
+
+
+def _checkpoint(spark: SparkSession, cat: SnapshotCatalog, round_no: int, stats: dict):
+    snapshots = {
+        t: cat.latest(t).snapshot_id for t in TABLES if cat.latest(t) is not None
+    }
+    df = spark.createDataFrame(
+        [(round_no, str(stats))], "round int, stats string"
+    )
+    cat.commit(
+        "checkpoint", df, mode="overwrite",
+        meta={"round": round_no, "snapshots": snapshots},
+    )
+
+
+def last_completed_round(cat: SnapshotCatalog) -> int:
+    snap = cat.latest("checkpoint")
+    if snap is None:
+        raise RuntimeError("catalog not bootstrapped (no checkpoint table)")
+    return int(snap.meta["round"])
+
+
+def rollback_to_checkpoint(spark: SparkSession, cat: SnapshotCatalog) -> None:
+    """Discard table snapshots newer than the last completed checkpoint — a
+    crash mid-round leaves some tables committed for round r+1 while the
+    checkpoint still says r; replaying round r+1 must start from r's state."""
+    snap = cat.latest("checkpoint")
+    if snap is None:
+        return
+    for table, sid in snap.meta.get("snapshots", {}).items():
+        if cat.latest(table) is not None:
+            cat.rollback(table, int(sid))
+
+
+def run_crawl(
+    spark: SparkSession,
+    cat: SnapshotCatalog,
+    cfg: CrawlConfig,
+    max_rounds: int | None = None,
+) -> list[dict]:
+    """Run rounds from the last checkpoint until drained or max_rounds."""
+    max_rounds = max_rounds if max_rounds is not None else cfg.max_rounds
+    rollback_to_checkpoint(spark, cat)
+    start = last_completed_round(cat) + 1
+    stats = []
+    for r in range(start, max_rounds):
+        s = run_round(spark, cat, cfg, r)
+        if s.get("done"):
+            break
+        stats.append(s)
+        _checkpoint(spark, cat, r, s)
+    return stats

@@ -1,0 +1,369 @@
+"""One crawl round — a deterministic BSP superstep (SURVEY.md §3.1).
+
+Replaces the reference's continuous asyncio loop (fetcher/crawler.py:169-203)
+with a batch dataflow per round:
+
+  frontier ── enrich (url_metadata ⟕, broadcast domain_stats ⟕)
+           ── score (U9 column exprs)
+           ── robots filter (broadcast ⋈ + longest-prefix match)
+           ── politeness per-host top-k (salted) + global top-batch
+           ── fetch (equi-join vs the web table)
+           ── parse (mapInPandas ParsedPage extraction)
+           ── appends: pages / parsed / crawl_log / url_seen / round_metrics
+           ── link discovery → canonicalize → hygiene filter → dedup
+           ── next frontier (leftover ∪ retries ∪ new links), overwrite commit
+
+Every ordering carries the total tie-break (score desc, url asc); the round
+clock is a deterministic function of the round number — no wall-clock inside
+the dataflow, so a resumed run reproduces identical downstream state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..catalog import SnapshotCatalog
+from ..config import CrawlConfig
+from ..functions import scoring
+from ..functions.htmlparse import parse_pages
+from ..functions.textstats import quality_score_col
+from ..functions.urls import (
+    canonicalize_url_udf,
+    host_col,
+    link_keep_predicate,
+    path_depth,
+    url_hash,
+)
+from ..operators import bloom as bloomops
+from ..operators.fetch import fetch_batch
+from ..operators.politeness import schedule_batch
+from ..operators.robotsops import apply_robots
+
+ROUND_EPOCH = _dt.datetime(2025, 6, 1, 0, 0, 0)
+
+
+def round_ts(round_no: int) -> _dt.datetime:
+    """Deterministic round clock (wall-clock is banned inside rounds)."""
+    return ROUND_EPOCH + _dt.timedelta(hours=round_no)
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def run_round(
+    spark: SparkSession,
+    cat: SnapshotCatalog,
+    cfg: CrawlConfig,
+    round_no: int,
+) -> dict:
+    t0 = time.monotonic()
+    now = round_ts(round_no)
+
+    frontier = cat.read("frontier")
+    if frontier is None:
+        return {"round": round_no, "scheduled": 0, "fetched": 0, "done": True}
+    frontier = frontier.cache()
+    urls_in = frontier.count()
+    if urls_in == 0:
+        return {"round": round_no, "scheduled": 0, "fetched": 0, "done": True}
+
+    meta = cat.read("url_metadata") or _empty(spark, schemas.URL_METADATA)
+    dstats = cat.read("domain_stats") or _empty(spark, schemas.DOMAIN_STATS)
+    robots = cat.read("robots") or _empty(spark, schemas.ROBOTS)
+    web = cat.read("web")
+    old_log = cat.read("crawl_log") or _empty(spark, schemas.CRAWL_LOG)
+
+    # ---- enrich + score (J3, J4, U9) ----------------------------------------
+    cand = (
+        frontier.join(meta.select("url_hash", "last_crawled"), "url_hash", "left")
+        .join(
+            F.broadcast(
+                dstats.select(
+                    "host",
+                    "domain_score",
+                    "success_count",
+                    "total_count",
+                    "avg_crawl_time",
+                    "avg_content_length",
+                )
+            ),
+            "host",
+            "left",
+        )
+        .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")))
+        # NB: damping depth is PATH-segment depth (prioritizer.py:92), not the
+        # crawl-hop depth the frontier tracks.
+        .withColumn("path_depth", path_depth(F.col("path")))
+        .withColumn(
+            "score",
+            scoring.final_score(
+                F.col("path"),
+                F.col("path_depth"),
+                F.col("domain_score"),
+                F.col("last_crawled"),
+                F.lit(now),
+                F.col("avg_content_length"),
+                F.col("success_count"),
+                F.col("total_count"),
+                F.col("avg_crawl_time"),
+            ),
+        )
+    )
+
+    # ---- robots (F5) ----------------------------------------------------------
+    cand = apply_robots(cand, robots).cache()
+    blocked = cand.filter(~F.col("robots_allowed"))
+    allowed = cand.filter(F.col("robots_allowed"))
+
+    # ---- politeness + priority dequeue (F4/W1) --------------------------------
+    scheduled = schedule_batch(
+        allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets
+    ).cache()
+    n_scheduled = scheduled.count()
+    leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
+
+    # ---- fetch (S5/J6) ---------------------------------------------------------
+    fetched = fetch_batch(scheduled, web).cache()
+    ok = fetched.filter(F.col("success")).cache()
+    failed = fetched.filter(~F.col("success"))
+
+    # ---- parse (U1) + quality (A8) ----------------------------------------------
+    parsed = parse_pages(ok.select("url", "html", "warc_ts")).cache()
+    enriched = parsed.select(
+        "url",
+        "text",
+        "links",
+        F.length("text").cast("long").alias("content_length"),
+        quality_score_col(
+            F.col("text"),
+            F.coalesce(F.size(F.element_at("headers", "h1")), F.lit(0)) > 0,
+            F.col("description"),
+            F.col("keywords"),
+        ).alias("quality_score"),
+    ).cache()
+
+    # ---- crawl_log append (S11 replacement) -------------------------------------
+    log_ok = (
+        ok.select("url", "url_hash", "host", "status_code", "crawl_time")
+        .join(enriched.select("url", "content_length", "quality_score"), "url")
+        .select(
+            F.lit(round_no).alias("round"),
+            "url",
+            "url_hash",
+            "host",
+            "status_code",
+            F.lit(True).alias("success"),
+            F.lit(None).cast("string").alias("error"),
+            "crawl_time",
+            "content_length",
+            "quality_score",
+            F.lit(now).alias("fetched_ts"),
+        )
+    )
+    log_fail = failed.select(
+        F.lit(round_no).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        "status_code",
+        F.lit(False).alias("success"),
+        F.lit("fetch_failed").alias("error"),
+        F.lit(None).cast("double").alias("crawl_time"),
+        F.lit(None).cast("long").alias("content_length"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(now).alias("fetched_ts"),
+    )
+    log_blocked = blocked.select(
+        F.lit(round_no).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        F.lit(None).cast("int").alias("status_code"),
+        F.lit(False).alias("success"),
+        F.lit("robots_disallowed").alias("error"),
+        F.lit(None).cast("double").alias("crawl_time"),
+        F.lit(None).cast("long").alias("content_length"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(now).alias("fetched_ts"),
+    )
+    new_log = log_ok.unionByName(log_fail).unionByName(log_blocked).cache()
+
+    # ---- pages append (S7 replacement: engine-extracted text) --------------------
+    pages_out = (
+        ok.select("url", "warc_ts", "html", F.col("src_lang").alias("lang"))
+        .join(enriched.select("url", "text"), "url")
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+
+    # ---- link discovery (U1 links → F7/F8/F6 → J1 dedup) --------------------------
+    links = (
+        enriched.select(
+            F.col("url").alias("src_url"), F.explode("links").alias("href")
+        )
+        .join(
+            scheduled.select(F.col("url").alias("src_url"), "depth"),
+            "src_url",
+        )
+        .withColumn("link", canonicalize_url_udf(F.col("href")))
+        .filter(link_keep_predicate(F.col("link")))
+    )
+    # first-enqueue-wins across parents: min depth per link (adopted semantics)
+    new_cand = (
+        links.groupBy("link")
+        .agg((F.min("depth") + 1).cast("int").alias("depth"))
+        .withColumnRenamed("link", "url")
+        .withColumn("url_hash", url_hash(F.col("url")))
+        .withColumn("host", host_col(F.col("url")))
+        .select("url", "url_hash", "host", "depth")
+    )
+    n_links = new_cand.count()
+
+    if cfg.use_bloom:
+        params = bloomops.BloomParams(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_buckets)
+        shards = cat.read("bloom_shards")
+        survivors, new_shards = bloomops.filter_and_update(new_cand, shards, params)
+        survivors = survivors.cache()
+        n_new = survivors.count()
+        cat.commit("bloom_shards", new_shards.withColumn("round", F.lit(round_no + 1)),
+                   mode="overwrite", meta={"round": round_no})
+    else:
+        seen = cat.read("url_seen") or _empty(spark, schemas.URL_SEEN)
+        survivors = new_cand.join(
+            seen.select("url_hash"), "url_hash", "left_anti"
+        ).cache()
+        n_new = survivors.count()
+
+    # ---- next frontier -------------------------------------------------------------
+    front_cols = [f.name for f in schemas.FRONTIER.fields]
+    new_entries = survivors.select(
+        F.lit(round_no + 1).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        "depth",
+        F.lit(None).cast("double").alias("score"),
+        F.lit(now).alias("discovered_ts"),
+        F.lit(round_no + 1).cast("long").alias("seq"),
+        F.lit(0).alias("retries"),
+    )
+    retry = (
+        failed.filter(F.col("retries") + 1 <= cfg.max_retries)
+        .select(
+            F.lit(round_no + 1).alias("round"),
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            F.lit(None).cast("double").alias("score"),
+            F.col("discovered_ts"),
+            F.col("seq"),
+            (F.col("retries") + 1).alias("retries"),
+        )
+    )
+    leftover_next = leftover.select(
+        F.lit(round_no + 1).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        "depth",
+        F.lit(None).cast("double").alias("score"),
+        "discovered_ts",
+        "seq",
+        "retries",
+    )
+    next_frontier = (
+        leftover_next.unionByName(retry).unionByName(new_entries).select(*front_cols)
+    )
+
+    # ---- metrics (per-partition lineage, north_rule) --------------------------------
+    part_stats = (
+        ok.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("pages_fetched"),
+            F.sum(F.octet_length("html")).alias("bytes"),
+        )
+        .collect()
+    )
+    n_fetched = sum(r["pages_fetched"] for r in part_stats)
+    n_failed = n_scheduled - n_fetched
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics_rows = [
+        (
+            round_no, int(r["partition_id"]), None, None, None,
+            int(r["pages_fetched"]), None, None, int(r["bytes"]), None,
+        )
+        for r in part_stats
+    ]
+    metrics_rows.append(
+        (
+            round_no, -1, urls_in, int(n_links - n_new), n_scheduled,
+            n_fetched, n_failed, n_links, None, wall_ms,
+        )
+    )
+    metrics_df = spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
+
+    # ---- commits (snapshot per table, then the round checkpoint) --------------------
+    cat.commit("crawl_log", new_log, mode="append", meta={"round": round_no})
+    cat.commit("pages", pages_out, mode="append", meta={"round": round_no})
+    cat.commit(
+        "parsed",
+        parsed.select([f.name for f in schemas.PARSED.fields]),
+        mode="append",
+        meta={"round": round_no},
+    )
+    cat.commit(
+        "url_seen",
+        survivors.select(
+            "url_hash", "url", F.lit(round_no + 1).alias("round")
+        ),
+        mode="append",
+        meta={"round": round_no},
+    )
+    # url_metadata MERGE (J7): upsert rows for every fetched/failed url
+    upd = (
+        new_log.filter(F.col("error").isNull() | (F.col("error") != "robots_disallowed"))
+        .select(
+            "url_hash",
+            F.col("fetched_ts").alias("last_crawled"),
+            F.when(F.col("success"), "success").otherwise("failed").alias("last_status"),
+            "quality_score",
+            "crawl_time",
+            "content_length",
+        )
+    )
+    merged_meta = meta.join(upd.select("url_hash"), "url_hash", "left_anti").unionByName(upd)
+    cat.commit("url_metadata", merged_meta, mode="overwrite", meta={"round": round_no})
+    # domain_stats from the full log (A9 adopted aggregate)
+    full_log = old_log.unionByName(new_log)
+    dstats_new = scoring.domain_score_from_log(full_log).withColumn(
+        "content_type_count", F.lit(None).cast("int")
+    )
+    cat.commit(
+        "domain_stats",
+        dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
+        mode="overwrite",
+        meta={"round": round_no},
+    )
+    cat.commit("frontier", next_frontier, mode="overwrite", meta={"round": round_no + 1})
+    cat.commit("round_metrics", metrics_df, mode="append", meta={"round": round_no})
+
+    for df in (frontier, cand, scheduled, fetched, ok, parsed, enriched, new_log, survivors):
+        df.unpersist()
+
+    return {
+        "round": round_no,
+        "urls_in": urls_in,
+        "scheduled": n_scheduled,
+        "fetched": n_fetched,
+        "failed": n_failed,
+        "links": n_links,
+        "new_urls": n_new,
+        "wall_ms": wall_ms,
+        "done": False,
+    }

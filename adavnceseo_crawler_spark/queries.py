@@ -1,0 +1,1109 @@
+"""Driver-contract operator queries (SURVEY.md §2) with DuckDB oracle SQL.
+
+Each entry is one operator from the inventory, expressed Spark-first over the
+driver's testdata tables, with a semantically identical ANSI-SQL oracle that
+DuckDB runs on the same parquet.  Conventions for hash parity:
+
+* every computed column is aliased identically on both sides;
+* float outputs are rounded (4-6 dp) on both sides — double summation order
+  differs between engines at the ULP level;
+* DuckDB ``count(*)`` is cast to BIGINT (DuckDB yields INT128 for some sums);
+* orderings that feed a LIMIT always carry a total tie-break.
+
+Crawl-specific operators (scoring, politeness, freshness, URL functions) run
+over URL/host columns synthesized **inside the query by identical expressions
+on both sides** from the relational tables — the oracle then checks the
+operator, not the synthesis.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+STOPWORDS_SQL = "('the','a','an','and','or','but','in','on','at','to')"
+STOPWORDS = ("the", "a", "an", "and", "or", "but", "in", "on", "at", "to")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# =============================================================================
+# Aggregations (A1-A3, A10-A11 analogs)
+# =============================================================================
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                AS sum_qty,
+           round(sum(l_extendedprice), 2)                           AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc,
+           round(avg(l_quantity), 4)                                AS avg_qty,
+           CAST(count(*) AS BIGINT)                                 AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q02_top_sources",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY source
+    ORDER BY n_docs DESC, source ASC LIMIT 10
+    """,
+)
+def q02(spark, sf):
+    """A3: top-10 leaderboard with sub-aggregates (server.js:164-184)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(10)
+    )
+
+
+@q(
+    "q03_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q03(spark, sf):
+    """J4-style enrichment joins: fact ⋈ dim ⋈ dim (broadcast the dims)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "q04_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q04(spark, sf):
+    """W4: per-group top-k ranking (postgres_storage.py:127-141)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "q05_events_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q05(spark, sf):
+    """A1: date_histogram day buckets (elasticsearch_storage.py:126-130)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "q06_domain_stats",
+    """
+    SELECT event_type AS domain,
+           CAST(count(*) AS BIGINT)                 AS total_count,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS distinct_users,
+           round(avg(value), 4)                     AS avg_value,
+           max(ts)                                  AS last_seen
+    FROM events GROUP BY event_type
+    """,
+)
+def q06(spark, sf):
+    """A2: per-domain stats (postgres_storage.py:148-170 shape)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(F.col("event_type").alias("domain")).agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+# =============================================================================
+# URL / filter / scalar operators (F1-F11, C1-C17) over synthesized URL columns
+# =============================================================================
+_URL_SYNTH_SQL = """
+      SELECT p_partkey,
+             (CASE WHEN p_partkey % 3 = 0 THEN 'https://' WHEN p_partkey % 3 = 1 THEN 'http://' ELSE '' END)
+             || 'site' || CAST(p_partkey % 7 AS VARCHAR) || '.example.com/part/'
+             || CAST(p_partkey AS VARCHAR) AS raw_url
+      FROM part
+"""
+
+
+def _url_synth_spark(spark, sf):
+    p = _t(spark, sf, "part")
+    scheme = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("https://"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit(""))
+    )
+    return p.select(
+        "p_partkey",
+        F.concat(
+            scheme,
+            F.lit("site"),
+            (F.col("p_partkey") % 7).cast("string"),
+            F.lit(".example.com/part/"),
+            F.col("p_partkey").cast("string"),
+        ).alias("raw_url"),
+    )
+
+
+@q(
+    "q07_url_normalize",
+    f"""
+    SELECT p_partkey,
+           CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                ELSE 'https://' || raw_url END AS url
+    FROM ({_URL_SYNTH_SQL})
+    """,
+)
+def q07(spark, sf):
+    """F1: scheme normalization (main.py:96-97)."""
+    from .functions.urls import normalize_scheme
+
+    return _url_synth_spark(spark, sf).select(
+        "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
+    )
+
+
+@q(
+    "q08_url_hash_host_depth",
+    f"""
+    WITH u AS (
+      SELECT p_partkey,
+             CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                  ELSE 'https://' || raw_url END AS url
+      FROM ({_URL_SYNTH_SQL}))
+    SELECT p_partkey, sha256(url) AS url_hash,
+           lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+           CAST(len(list_filter(string_split(regexp_extract(url, '^https?://[^/]*(/.*)$', 1), '/'),
+                                x -> x <> '')) AS INT) AS depth
+    FROM u
+    """,
+)
+def q08(spark, sf):
+    """F2/F9/C7: sha256 url hash, host extraction, path-segment depth."""
+    from .functions.urls import normalize_scheme
+
+    u = _url_synth_spark(spark, sf).select(
+        "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
+    )
+    return u.select(
+        "p_partkey",
+        F.sha2("url", 256).alias("url_hash"),
+        F.lower(F.regexp_extract("url", "^https?://([^/]+)", 1)).alias("host"),
+        F.size(
+            F.filter(
+                F.split(F.regexp_extract("url", "^https?://[^/]*(/.*)$", 1), "/"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("depth"),
+    )
+
+
+_PATH_SYNTH_SQL = """
+      SELECT p_partkey,
+             repeat('/x', p_partkey % 6) ||
+             (CASE p_partkey % 8
+                WHEN 0 THEN '/article/' WHEN 1 THEN '/blog/' WHEN 2 THEN '/news/'
+                WHEN 3 THEN '/product/' WHEN 4 THEN '/category/' WHEN 5 THEN '/tag/'
+                WHEN 6 THEN '/page/' ELSE '/' END)
+             || CAST(p_partkey AS VARCHAR) AS path
+      FROM part
+"""
+
+
+def _path_synth_spark(spark, sf):
+    p = _t(spark, sf, "part")
+    pat = (
+        F.when(F.col("p_partkey") % 8 == 0, "/article/")
+        .when(F.col("p_partkey") % 8 == 1, "/blog/")
+        .when(F.col("p_partkey") % 8 == 2, "/news/")
+        .when(F.col("p_partkey") % 8 == 3, "/product/")
+        .when(F.col("p_partkey") % 8 == 4, "/category/")
+        .when(F.col("p_partkey") % 8 == 5, "/tag/")
+        .when(F.col("p_partkey") % 8 == 6, "/page/")
+        .otherwise("/")
+    )
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.repeat(F.lit("/x"), F.col("p_partkey") % 6),
+            pat,
+            F.col("p_partkey").cast("string"),
+        ).alias("path"),
+    )
+
+
+@q(
+    "q09_base_score",
+    f"""
+    WITH d AS (
+      SELECT p_partkey, path,
+             CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT) AS depth,
+             CASE WHEN regexp_matches(path, '/article/')   THEN 1.5
+                  WHEN regexp_matches(path, '/blog/')      THEN 1.3
+                  WHEN regexp_matches(path, '/news/')      THEN 1.4
+                  WHEN regexp_matches(path, '/product/')   THEN 1.2
+                  WHEN regexp_matches(path, '/category/')  THEN 0.8
+                  WHEN regexp_matches(path, '/tag/')       THEN 0.6
+                  WHEN regexp_matches(path, '/page/[0-9]+') THEN 0.5
+                  ELSE 1.0 END AS weight
+      FROM ({_PATH_SYNTH_SQL}))
+    SELECT p_partkey, path, depth,
+           round(weight * (CASE WHEN depth > 3 THEN 1.0 / log2(depth) ELSE 1.0 END), 6)
+             AS base_score
+    FROM d
+    """,
+)
+def q09(spark, sf):
+    """U9 base score: path-pattern weights (first match, dict order) × depth
+    damping (prioritizer.py:77-96)."""
+    from .functions.scoring import depth_damping, pattern_weight
+    from .functions.urls import path_depth
+
+    d = _path_synth_spark(spark, sf).withColumn("depth", path_depth(F.col("path")))
+    return d.select(
+        "p_partkey",
+        "path",
+        "depth",
+        F.round(
+            pattern_weight(F.col("path")) * depth_damping(F.col("depth")), 6
+        ).alias("base_score"),
+    )
+
+
+@q(
+    "q10_freshness_buckets",
+    """
+    SELECT event_id,
+           CAST(CASE WHEN age < 3600 THEN 0.2 WHEN age < 86400 THEN 0.4
+                WHEN age < 604800 THEN 0.6 WHEN age < 2592000 THEN 0.8
+                ELSE 1.0 END AS DOUBLE) AS freshness
+    FROM (SELECT event_id,
+                 date_diff('second', ts, TIMESTAMP '2024-01-15 00:00:00') AS age
+          FROM events)
+    """,
+)
+def q10(spark, sf):
+    """C11: freshness age buckets (prioritizer.py:98-118)."""
+    from .functions.scoring import freshness_score
+
+    e = _t(spark, sf, "events")
+    now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    return e.select(
+        "event_id", freshness_score(F.col("ts"), now).alias("freshness")
+    )
+
+
+@q(
+    "q11_politeness_budget",
+    """
+    SELECT host, event_id, rn FROM (
+      SELECT 'host' || CAST(user_id % 20 AS VARCHAR) AS host, event_id,
+             row_number() OVER (PARTITION BY user_id % 20
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) WHERE rn <= 5
+    """,
+)
+def q11(spark, sf):
+    """F4: per-host politeness budget as windowed top-k (adopted semantics of
+    url_frontier.py:93-99) — run through the engine's salted two-stage
+    operator to prove it equals the single-stage window."""
+    from .operators.politeness import per_host_topk
+
+    e = _t(spark, sf, "events").select(
+        F.concat(F.lit("host"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.col("event_id"),
+        F.col("value").alias("score"),
+    )
+    ranked = per_host_topk(
+        e.withColumn("url", F.col("event_id").cast("string")),
+        budget=5,
+        salt_buckets=4,
+        host="host",
+        url="event_id",
+        score="score",
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("event_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .select("host", "event_id", "rn")
+    )
+
+
+@q(
+    "q12_priority_topk",
+    """
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 50
+    """,
+)
+def q12(spark, sf):
+    """W1: global priority dequeue top-k (url_frontier.py:82-88) —
+    TakeOrderedAndProject, no full sort."""
+    e = _t(spark, sf, "events")
+    return e.select("event_id", "value").orderBy(
+        F.desc("value"), F.asc("event_id")
+    ).limit(50)
+
+
+@q(
+    "q13_link_hygiene_filter",
+    r"""
+    WITH l AS (
+      SELECT p_partkey,
+             '/files/f' || CAST(p_partkey AS VARCHAR) ||
+             (CASE p_partkey % 6 WHEN 0 THEN '.pdf' WHEN 1 THEN '.html'
+               WHEN 2 THEN '.jpg' WHEN 3 THEN '' WHEN 4 THEN '.zip'
+               ELSE '.mp4' END) AS path
+      FROM part)
+    SELECT p_partkey, path FROM l
+    WHERE NOT regexp_matches(lower(path),
+      '\.(pdf|docx?|pptx?|xlsx?|zip|rar|tar|gz|exe|dmg|iso|img|jpe?g|png|gif|svg|mp3|mp4|avi|mov|wmv)$')
+    """,
+)
+def q13(spark, sf):
+    """F6: binary-extension link filter (html_parser.py:27-33,150)."""
+    from .functions.urls import IGNORED_EXT_RE
+
+    p = _t(spark, sf, "part")
+    ext = (
+        F.when(F.col("p_partkey") % 6 == 0, ".pdf")
+        .when(F.col("p_partkey") % 6 == 1, ".html")
+        .when(F.col("p_partkey") % 6 == 2, ".jpg")
+        .when(F.col("p_partkey") % 6 == 3, "")
+        .when(F.col("p_partkey") % 6 == 4, ".zip")
+        .otherwise(".mp4")
+    )
+    l = p.select(
+        "p_partkey",
+        F.concat(F.lit("/files/f"), F.col("p_partkey").cast("string"), ext).alias("path"),
+    )
+    return l.filter(~F.lower(F.col("path")).rlike(IGNORED_EXT_RE))
+
+
+# =============================================================================
+# Text pipeline operators (A4-A8, T1, U-layer analogs) over `documents`
+# =============================================================================
+_WORDS_SQL = f"""
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+      WHERE length(word) >= 3 AND word NOT IN {STOPWORDS_SQL}
+"""
+
+
+def _words_spark(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+        )
+        .filter((F.length("word") >= 3) & ~F.col("word").isin(*STOPWORDS))
+    )
+
+
+@q(
+    "q14_word_freq",
+    f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM ({_WORDS_SQL})
+    GROUP BY word ORDER BY freq DESC, word ASC LIMIT 50
+    """,
+)
+def q14(spark, sf):
+    """A4: corpus word frequency (processor.py:93-102 tokenization rules)."""
+    return (
+        _words_spark(spark, sf)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@q(
+    "q15_keyword_topk",
+    f"""
+    WITH f AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq
+      FROM ({_WORDS_SQL}) GROUP BY doc_id, word),
+    s AS (
+      SELECT doc_id, word, freq,
+             freq * 1.0 / max(freq) OVER (PARTITION BY doc_id) AS score
+      FROM f),
+    r AS (
+      SELECT doc_id, word, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+      FROM s)
+    SELECT doc_id, word, score, rn FROM r WHERE rn <= 5
+    """,
+)
+def q15(spark, sf):
+    """A5/W2: per-doc keyword scoring freq/max(freq), top-k
+    (processor.py:104-122; title boost n/a — documents have no title)."""
+    f = (
+        _words_spark(spark, sf)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wmax = Window.partitionBy("doc_id")
+    s = f.withColumn(
+        "score", F.col("freq") * 1.0 / F.max("freq").over(wmax)
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "word", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+@q(
+    "q16_content_classify",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '(?i)article|post|story|news'))   AS c1,
+             len(regexp_extract_all(text, '(?i)product|price|\\$|€|£'))     AS c2,
+             len(regexp_extract_all(text, '(?i)welcome|homepage|main'))     AS c3,
+             len(regexp_extract_all(text, '(?i)category|archive|list|index')) AS c4
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN c1 = 0 AND c2 = 0 AND c3 = 0 AND c4 = 0 THEN 'unknown'
+                WHEN c1 >= c2 AND c1 >= c3 AND c1 >= c4 AND c1 > 0 THEN 'article'
+                WHEN c2 > c1 AND c2 >= c3 AND c2 >= c4 THEN 'product'
+                WHEN c3 > c1 AND c3 > c2 AND c3 >= c4 THEN 'landing'
+                ELSE 'listing' END AS content_type
+    FROM c
+    """,
+)
+def q16(spark, sf):
+    """A7: pattern-count argmax content classification (processor.py:181-201;
+    strict-> update => earlier pattern wins ties)."""
+    from .functions.textstats import content_type_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", content_type_col(F.col("text")).alias("content_type"))
+
+
+@q(
+    "q17_quality_score",
+    """
+    SELECT doc_id,
+           round(least(CAST(CASE WHEN length(text) > 1000 THEN 1.2
+                            WHEN length(text) < 100 THEN 0.8
+                            ELSE 1.0 END AS DOUBLE), 2.0), 6) AS quality
+    FROM documents
+    """,
+)
+def q17(spark, sf):
+    """A8 length factor of the quality score (processor.py:217-236; the
+    h1/meta factors need parsed HTML — exercised in the crawl tests)."""
+    d = _t(spark, sf, "documents")
+    lf = (
+        F.when(F.length("text") > 1000, 1.2)
+        .when(F.length("text") < 100, 0.8)
+        .otherwise(1.0)
+    )
+    return d.select(
+        "doc_id", F.round(F.least(lf, F.lit(2.0)), 6).alias("quality")
+    )
+
+
+@q(
+    "q18_search_score",
+    """
+    SELECT doc_id, score FROM (
+      SELECT doc_id,
+             3 * len(regexp_extract_all(lower(source), 'spark'))
+           + 2 * len(regexp_extract_all(lower(text), 'query'))
+           + 1 * len(regexp_extract_all(lower(text), 'spark')) AS score
+      FROM documents) WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q18(spark, sf):
+    """T1: weighted multi-field TF match, best-score ordering
+    (elasticsearch_storage.py:89-111 approximation)."""
+    d = _t(spark, sf, "documents")
+    score = (
+        3 * F.regexp_count(F.lower("source"), F.lit("spark"))
+        + 2 * F.regexp_count(F.lower("text"), F.lit("query"))
+        + 1 * F.regexp_count(F.lower("text"), F.lit("spark"))
+    )
+    return (
+        d.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@q(
+    "q19_lang_id",
+    """
+    WITH c AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|with)\\b'))   AS c_en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein|ich|zu)\\b')) AS c_de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|pas|pour|que|une|des)\\b'))    AS c_fr,
+        len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de|es|por|con|una|para)\\b'))     AS c_es,
+        len(regexp_extract_all(lower(text), '\\b(il|la|che|di|e|per|un|con|del|sono)\\b'))       AS c_it
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 AND c_it = 0 THEN 'und'
+                WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_it THEN 'en'
+                WHEN c_de > c_en AND c_de >= c_fr AND c_de >= c_es AND c_de >= c_it THEN 'de'
+                WHEN c_fr > c_en AND c_fr > c_de AND c_fr >= c_es AND c_fr >= c_it THEN 'fr'
+                WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr AND c_es >= c_it THEN 'es'
+                ELSE 'it' END AS lang_guess
+    FROM c
+    """,
+)
+def q19(spark, sf):
+    """Language-ID heuristic: stopword-marker argmax (training-data op)."""
+    from .functions.textstats import lang_id_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", lang_id_col(F.col("text")).alias("lang_guess"))
+
+
+@q(
+    "q20_text_quality_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS alpha_ratio
+    FROM documents
+    """,
+)
+def q20(spark, sf):
+    """Text quality ratios for corpus filtering (training-data op)."""
+    d = _t(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.trim("text"), "\\s+"), lambda x: x != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+            * 1.0
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+@q(
+    "q21_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def q21(spark, sf):
+    """Token counting, BPE-ish word/punct split (training-data op)."""
+    from .functions.textstats import token_count_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+
+
+# =============================================================================
+# Dedup operators (training-data pipeline)
+# =============================================================================
+@q(
+    "q22_dedup_exact",
+    """
+    SELECT doc_id, text_hash FROM (
+      SELECT doc_id, md5(text) AS text_hash,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def q22(spark, sf):
+    """Exact dedup: hash-group, keep lowest id (J1 groupBy form)."""
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, text_col="text", id_col="doc_id").select(
+        "doc_id", "text_hash"
+    )
+
+
+@q(
+    "q23_ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL}) WHERE doc_id < 100),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM g a JOIN g b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+               JOIN sizes sb ON pairs.id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+    """,
+)
+def q23(spark, sf):
+    """Unigram-set Jaccard near-dup pairs (threshold 0.8, ids < 100)."""
+    from .operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return jaccard_pairs(
+        _words_spark(spark, sf).filter(F.col("doc_id") < 100),
+        id_col="doc_id",
+        token_col="word",
+        threshold=0.8,
+    )
+
+
+# =============================================================================
+# Similarity search (embeddings)
+# =============================================================================
+@q(
+    "q24_cosine_topk",
+    """
+    WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q, q))), 6) AS cos
+    FROM embeddings, qv WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q24(spark, sf):
+    """Brute-force cosine top-k ANN baseline (training-data op)."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return cosine_topk(
+        e.filter(F.col("vec_id") != 0), qv, k=10, id_col="vec_id"
+    )
+
+
+@q(
+    "q25_neardup_cosine_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+    """,
+)
+def q25(spark, sf):
+    """Embedding-cosine near-dup pairs (threshold 0.8, ids < 150)."""
+    from .operators.similarity import cosine_pairs
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    return cosine_pairs(e, id_col="vec_id", threshold=0.8)
+
+
+# =============================================================================
+# Rows-only entries (no ANSI-SQL equivalent; driver records a weaker check)
+# =============================================================================
+@q("q26_minhash_lsh_neardup")
+def q26(spark, sf):
+    """MinHash+LSH near-dup candidate pairs with signature-estimated Jaccard
+    (shingle→minhash→band→bucket-join; training-data dedup at scale)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup_pairs(d, threshold=0.5)
+
+
+@q("q27_simhash_candidates")
+def q27(spark, sf):
+    """SimHash banded near-dup candidates with Hamming distance."""
+    from .operators.dedup import simhash_candidates
+
+    d = _t(spark, sf, "documents")
+    return simhash_candidates(d)
+
+
+@q("q28_fingerprint")
+def q28(spark, sf):
+    """Rolling-hash document fingerprint (pandas UDF; C-layer scalar op)."""
+    from .functions.textstats import fingerprint_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fp"))
+
+
+@q("q29_lsh_ann_topk")
+def q29(spark, sf):
+    """LSH-bucketed approximate nearest neighbours (the ANN scale path)."""
+    from .operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return lsh_topk(e.filter(F.col("vec_id") != 0), qv, dim=64, k=10, n_planes=8)
+
+
+@q("q30_multimodal_features")
+def q30(spark, sf):
+    """Binary-payload feature extraction plumbing (decode stubbed; schema,
+    Arrow batching and modality partitioning are real)."""
+    from .operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=200)
+    return extract_features(media)
+
+
+@q("q31_crawl_round")
+def q31(spark, sf):
+    """Flagship rows-only entry: two full crawl rounds of the BSP engine on
+    the deterministic synthetic web (seed → dedup → robots → politeness →
+    fetch-join → parse → link discovery), returning the crawl log."""
+    import tempfile
+
+    from . import synth
+    from .catalog import SnapshotCatalog
+    from .config import CrawlConfig
+    from .plans import loop
+
+    cfg = CrawlConfig(politeness_budget=3, batch_size=50, max_rounds=2)
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="crawlq_"))
+    n, h = 300, 8
+    loop.bootstrap(
+        spark, cat, cfg,
+        synth.gen_seeds(spark, n, h),
+        synth.gen_pages(spark, n, h, partitions=8),
+        synth.gen_robots(spark, h),
+    )
+    loop.run_crawl(spark, cat, cfg)
+    return cat.read("crawl_log").select(
+        "round", "url", "host", "status_code", "success", "error"
+    )
+
+
+# =============================================================================
+# Additional operator coverage (O/C/J/W/A rows of SURVEY.md §2)
+# =============================================================================
+@q(
+    "q32_set_ops",
+    """
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list_concat(
+             list_filter(regexp_split_to_array(lower(substring(text, 1, 60)), '[^a-z0-9]+'), x -> x <> ''),
+             list_filter(regexp_split_to_array(lower(substring(text, 61, 60)), '[^a-z0-9]+'), x -> x <> '')
+           ))), ',') AS merged_terms
+    FROM documents
+    """,
+)
+def q32(spark, sf):
+    """O4/O5: set-dedup + union of two keyword arrays
+    (html_parser.py:104-117, processor.py:317-339)."""
+    d = _t(spark, sf, "documents")
+    def words(col):
+        return F.filter(
+            F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )
+    merged = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    words(F.substring("text", 1, 60)),
+                    words(F.substring("text", 61, 60)),
+                )
+            )
+        ),
+        ",",
+    )
+    return d.select("doc_id", merged.alias("merged_terms"))
+
+
+@q(
+    "q33_retry_backoff",
+    """
+    SELECT event_id,
+           round(least(300.0, pow(2, event_id % 5) * 1.0), 4) AS backoff_s
+    FROM events
+    """,
+)
+def q33(spark, sf):
+    """C10: exponential backoff min(300, 2^retry × delay)
+    (fetcher/crawler.py:124-126)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.round(
+            F.least(F.lit(300.0), F.pow(F.lit(2), F.col("event_id") % 5) * 1.0), 4
+        ).alias("backoff_s"),
+    )
+
+
+@q(
+    "q34_json_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def q34(spark, sf):
+    """C15: JSON decode of message payloads (kafka_producer.py:14)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@q(
+    "q35_ttl_retention",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS kept FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def q35(spark, sf):
+    """S13: TTL delete = retention filter (postgres_storage.py:172-190);
+    on the lake this is a partition-drop, here the predicate itself."""
+    e = _t(spark, sf, "events")
+    return e.filter(F.col("ts") >= "2024-01-08").agg(
+        F.count(F.lit(1)).alias("kept")
+    )
+
+
+@q(
+    "q36_recent_paged",
+    """
+    SELECT domain, event_id, rn FROM (
+      SELECT event_type AS domain, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events) WHERE rn BETWEEN 2 AND 4
+    """,
+)
+def q36(spark, sf):
+    """W4: recent-per-domain with OFFSET/LIMIT paging
+    (postgres_storage.py:127-141)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("domain").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        e.select(F.col("event_type").alias("domain"), "event_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 2) & (F.col("rn") <= 4))
+        .select("domain", "event_id", "rn")
+    )
+
+
+@q(
+    "q37_sentiment_ratio",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b(fast|big)\\b'))  AS pos,
+             len(regexp_extract_all(lower(text), '\\b(slow|small)\\b')) AS neg
+      FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN pos + neg > 0 THEN pos * 1.0 / (pos + neg) ELSE 0.5 END, 6)
+             AS overall_sentiment
+    FROM s
+    """,
+)
+def q37(spark, sf):
+    """A6 shape: positive/(total) sentiment ratio (processor.py:267-269) with
+    a deterministic lexicon stub standing in for the DistilBERT scorer (U6 is
+    a pluggable predict_batch_udf hook on a real cluster)."""
+    d = _t(spark, sf, "documents")
+    pos = F.regexp_count(F.lower("text"), F.lit(r"\b(fast|big)\b"))
+    neg = F.regexp_count(F.lower("text"), F.lit(r"\b(slow|small)\b"))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.when(pos + neg > 0, pos * 1.0 / (pos + neg)).otherwise(0.5), 6
+        ).alias("overall_sentiment"),
+    )
+
+
+@q(
+    "q38_topic_rank",
+    """
+    WITH t AS (
+      SELECT doc_id, topic, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, topic ASC) AS rn
+      FROM (
+        SELECT doc_id, 'storage' AS topic,
+               CAST(len(regexp_extract_all(lower(text), '\\b(table|row|column)\\b')) AS BIGINT) AS score FROM documents
+        UNION ALL
+        SELECT doc_id, 'execution',
+               CAST(len(regexp_extract_all(lower(text), '\\b(scan|join|agg)\\b')) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, 'streaming',
+               CAST(len(regexp_extract_all(lower(text), '\\b(stream|window|batch)\\b')) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, 'performance',
+               CAST(len(regexp_extract_all(lower(text), '\\b(fast|slow|cache)\\b')) AS BIGINT) FROM documents))
+    SELECT doc_id, topic, score, rn FROM t WHERE rn <= 3
+    """,
+)
+def q38(spark, sf):
+    """W3: per-doc topic scores ranked top-3 (processor.py:402-411) with a
+    deterministic marker-count stub for the zero-shot classifier (U8)."""
+    d = _t(spark, sf, "documents")
+    topics = {
+        "storage": r"\b(table|row|column)\b",
+        "execution": r"\b(scan|join|agg)\b",
+        "streaming": r"\b(stream|window|batch)\b",
+        "performance": r"\b(fast|slow|cache)\b",
+    }
+    scored = None
+    for topic, pat in topics.items():
+        part = d.select(
+            "doc_id",
+            F.lit(topic).alias("topic"),
+            F.regexp_count(F.lower("text"), F.lit(pat)).cast("long").alias("score"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "topic", "score", "rn")
+    )
+
+
+@q(
+    "q39_link_classify",
+    """
+    SELECT is_internal, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN is_internal THEN 1.2 ELSE 1.0 END), 6) AS avg_link_score
+    FROM (
+      SELECT (l_partkey % 7) = (l_suppkey % 7) AS is_internal FROM lineitem)
+    GROUP BY is_internal
+    """,
+)
+def q39(spark, sf):
+    """J5: internal/external link classification + weights 1.2/1.0
+    (processor.py:141-168) over synthesized src/dst host pairs."""
+    li = _t(spark, sf, "lineitem")
+    cls = li.select(
+        ((F.col("l_partkey") % 7) == (F.col("l_suppkey") % 7)).alias("is_internal")
+    )
+    return cls.groupBy("is_internal").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.when(F.col("is_internal"), 1.2).otherwise(1.0)), 6
+        ).alias("avg_link_score"),
+    )
+
+
+@q(
+    "q40_domain_score",
+    """
+    SELECT domain,
+           round(least(2.0,
+             (1.0 + avg_q) * least(1.0, 1.0 / avg_t) *
+             (CASE WHEN avg_len > 5000 THEN 1.2 ELSE 1.0 END)), 6) AS domain_score
+    FROM (
+      SELECT event_type AS domain, avg(value) / 100.0 AS avg_q,
+             avg(value) AS avg_t, avg(value) * 100 AS avg_len
+      FROM events GROUP BY event_type)
+    """,
+)
+def q40(spark, sf):
+    """A9: domain score from crawl stats — (1+quality) × min(1, 1/crawl_time)
+    × 1.2 if content-rich, capped 2.0 (url_frontier.py:198-216)."""
+    e = _t(spark, sf, "events")
+    agg = e.groupBy(F.col("event_type").alias("domain")).agg(
+        (F.avg("value") / 100.0).alias("avg_q"),
+        F.avg("value").alias("avg_t"),
+        (F.avg("value") * 100).alias("avg_len"),
+    )
+    score = F.least(
+        F.lit(2.0),
+        (1.0 + F.col("avg_q"))
+        * F.least(F.lit(1.0), F.lit(1.0) / F.col("avg_t"))
+        * F.when(F.col("avg_len") > 5000, 1.2).otherwise(1.0),
+    )
+    return agg.select("domain", F.round(score, 6).alias("domain_score"))
