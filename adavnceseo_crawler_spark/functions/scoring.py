@@ -118,26 +118,47 @@ def final_score(
     )
 
 
-def domain_score_from_log(crawl_log: DataFrame) -> DataFrame:
-    """A9 adopted-aggregate domain score over successful fetches.
+_SUM_COLS = (
+    "success_count", "total_count", "sum_crawl_time", "sum_content_length",
+    "sum_quality",
+)
 
-    Returns domain_stats-shaped rows: host, domain_score, success_count,
-    total_count, avg_crawl_time, avg_content_length, last_crawled.
-    """
-    # robots-blocked rows never reach mark_url_complete in the reference
-    # (url_frontier.py:169 is only called after an actual fetch attempt)
-    crawl_log = crawl_log.filter(
+
+def _round_delta(new_log: DataFrame) -> DataFrame:
+    """Per-host sums for one round's log (robots-blocked rows never reach
+    mark_url_complete in the reference — url_frontier.py:169 fires only after
+    an actual fetch attempt)."""
+    attempted = new_log.filter(
         F.col("error").isNull() | (F.col("error") != "robots_disallowed")
     )
-    agg = crawl_log.groupBy("host").agg(
+    return attempted.groupBy("host").agg(
         F.sum(F.col("success").cast("long")).alias("success_count"),
         F.count(F.lit(1)).alias("total_count"),
-        F.avg(F.when(F.col("success"), F.col("crawl_time"))).alias("avg_crawl_time"),
-        F.avg(F.when(F.col("success"), F.col("content_length"))).alias(
-            "avg_content_length"
+        F.sum(F.when(F.col("success"), F.col("crawl_time"))).alias("sum_crawl_time"),
+        F.sum(F.when(F.col("success"), F.col("content_length"))).alias(
+            "sum_content_length"
         ),
-        F.avg(F.when(F.col("success"), F.col("quality_score"))).alias("avg_quality"),
+        F.sum(F.when(F.col("success"), F.col("quality_score"))).alias("sum_quality"),
         F.max("fetched_ts").alias("last_crawled"),
+    )
+
+
+def _derive_stats(sums: DataFrame) -> DataFrame:
+    """avg columns + A9 domain score from running sums."""
+    succ = F.col("success_count").cast("double")
+    with_avgs = (
+        sums.withColumn(
+            "avg_crawl_time",
+            F.when(F.col("success_count") > 0, F.col("sum_crawl_time") / succ),
+        )
+        .withColumn(
+            "avg_content_length",
+            F.when(F.col("success_count") > 0, F.col("sum_content_length") / succ),
+        )
+        .withColumn(
+            "avg_quality",
+            F.when(F.col("success_count") > 0, F.col("sum_quality") / succ),
+        )
     )
     raw = (
         (F.lit(1.0) + F.coalesce(F.col("avg_quality"), F.lit(0.0)))
@@ -151,4 +172,40 @@ def domain_score_from_log(crawl_log: DataFrame) -> DataFrame:
             F.lit(1.2),
         ).otherwise(F.lit(1.0))
     )
-    return agg.withColumn("domain_score", F.least(F.lit(2.0), raw)).drop("avg_quality")
+    return with_avgs.withColumn("domain_score", F.least(F.lit(2.0), raw)).drop(
+        "avg_quality"
+    )
+
+
+def domain_stats_update(old_stats: DataFrame | None, new_log: DataFrame) -> DataFrame:
+    """A9 adopted-aggregate domain score, maintained **incrementally**:
+    merge this round's per-host sums into the running sums instead of
+    rescanning the whole crawl log (which grows unboundedly at 10^10-URL
+    scale).  Equivalent to recomputing over the full log up to float
+    summation order."""
+    delta = _round_delta(new_log)
+    if old_stats is None or not any(
+        c in old_stats.columns for c in ("sum_crawl_time",)
+    ):
+        return _derive_stats(delta)
+    old = old_stats.select("host", *_SUM_COLS, "last_crawled")
+    d = delta.select(
+        F.col("host"),
+        *[F.col(c).alias(f"d_{c}") for c in _SUM_COLS],
+        F.col("last_crawled").alias("d_last_crawled"),
+    )
+    merged = old.join(d, "host", "full_outer")
+    for c in _SUM_COLS:
+        merged = merged.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"d_{c}"), F.lit(0))
+        )
+    merged = merged.withColumn(
+        "last_crawled", F.greatest("last_crawled", "d_last_crawled")
+    ).select("host", *_SUM_COLS, "last_crawled")
+    return _derive_stats(merged)
+
+
+def domain_score_from_log(crawl_log: DataFrame) -> DataFrame:
+    """Full-log recompute (oracle/small-scale path): same result as folding
+    domain_stats_update over the per-round logs."""
+    return _derive_stats(_round_delta(crawl_log))

@@ -77,11 +77,15 @@ def run_round(
     dstats = cat.read("domain_stats") or _empty(spark, schemas.DOMAIN_STATS)
     robots = cat.read("robots") or _empty(spark, schemas.ROBOTS)
     web = cat.read("web")
-    old_log = cat.read("crawl_log") or _empty(spark, schemas.CRAWL_LOG)
 
     # ---- enrich + score (J3, J4, U9) ----------------------------------------
+    # url_metadata is append-only (latest-wins): take max(last_crawled) per
+    # url — on Iceberg this is a MERGE target instead (J7)
+    meta_latest = meta.groupBy("url_hash").agg(
+        F.max("last_crawled").alias("last_crawled")
+    )
     cand = (
-        frontier.join(meta.select("url_hash", "last_crawled"), "url_hash", "left")
+        frontier.join(meta_latest, "url_hash", "left")
         .join(
             F.broadcast(
                 dstats.select(
@@ -337,13 +341,12 @@ def run_round(
             "content_length",
         )
     )
-    merged_meta = meta.join(upd.select("url_hash"), "url_hash", "left_anti").unionByName(upd)
-    cat.commit("url_metadata", merged_meta, mode="overwrite", meta={"round": round_no})
-    # domain_stats from the full log (A9 adopted aggregate)
-    full_log = old_log.unionByName(new_log)
-    dstats_new = scoring.domain_score_from_log(full_log).withColumn(
-        "content_type_count", F.lit(None).cast("int")
-    )
+    cat.commit("url_metadata", upd, mode="append", meta={"round": round_no})
+    # domain_stats (A9 adopted aggregate) maintained incrementally — merge
+    # this round's per-host sums; no rescan of the ever-growing crawl_log
+    dstats_new = scoring.domain_stats_update(
+        dstats if cat.exists("domain_stats") else None, new_log
+    ).withColumn("content_type_count", F.lit(None).cast("int"))
     cat.commit(
         "domain_stats",
         dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),

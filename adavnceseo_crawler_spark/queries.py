@@ -1107,3 +1107,56 @@ def q40(spark, sf):
         * F.when(F.col("avg_len") > 5000, 1.2).otherwise(1.0),
     )
     return agg.select("domain", F.round(score, 6).alias("domain_score"))
+
+
+@q(
+    "q41_url_features",
+    f"""
+    WITH u AS (
+      SELECT p_partkey,
+             CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                  ELSE 'https://' || raw_url END AS url
+      FROM ({_URL_SYNTH_SQL}))
+    SELECT p_partkey,
+           CAST(regexp_matches(lower(url), '/\\d{{4}}/\\d{{2}}') AS INT)        AS has_date,
+           CAST(regexp_matches(lower(url), '/page/\\d+') AS INT)              AS is_pagination,
+           CAST(regexp_matches(lower(url), 'article|blog|news|post') AS INT)  AS has_keywords,
+           CAST(regexp_matches(lower(url), '\\?') AS INT)                     AS has_query,
+           CAST(length(url) AS INT)                                           AS url_len
+    FROM u
+    """,
+)
+def q41(spark, sf):
+    """C17/U10: URL feature flags (ml/url_prioritizer.py:28-34,93-95)."""
+    from .functions.mlhooks import url_feature_cols
+    from .functions.urls import normalize_scheme
+
+    u = _url_synth_spark(spark, sf).select(
+        "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
+    )
+    feats = url_feature_cols(F.col("url"))
+    return u.select(
+        "p_partkey",
+        feats["has_date"].alias("has_date"),
+        feats["is_pagination"].alias("is_pagination"),
+        feats["has_keywords"].alias("has_keywords"),
+        feats["has_query"].alias("has_query"),
+        feats["url_len"].alias("url_len"),
+    )
+
+
+@q("q42_ml_blended_rank")
+def q42(spark, sf):
+    """U10: features → stub batch predictor (predict_batch_udf plug) →
+    0.7/0.3 blend (ml/url_prioritizer.py:175); rows-only (model not
+    SQL-expressible)."""
+    from .functions.mlhooks import ml_rank_urls
+    from .functions.urls import normalize_scheme
+
+    u = _url_synth_spark(spark, sf).select(
+        "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
+    ).withColumn("score", F.lit(1.0))
+    return ml_rank_urls(u).select(
+        "p_partkey", "url", F.round("ml_score", 6).alias("ml_score"),
+        F.round("blended", 6).alias("blended"),
+    )

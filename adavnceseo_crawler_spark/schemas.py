@@ -101,6 +101,10 @@ DOMAIN_STATS = T.StructType(
         T.StructField("avg_content_length", T.DoubleType(), True),
         T.StructField("content_type_count", T.IntegerType(), True),
         T.StructField("last_crawled", T.TimestampType(), True),
+        # running sums for incremental maintenance (scoring.domain_stats_update)
+        T.StructField("sum_crawl_time", T.DoubleType(), True),
+        T.StructField("sum_content_length", T.DoubleType(), True),
+        T.StructField("sum_quality", T.DoubleType(), True),
     ]
 )
 

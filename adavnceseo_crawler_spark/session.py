@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: the scheduled-batch side of the
+        # fetch join injects a bloom into the web-table scan (SURVEY.md §4).
+        # NB: do NOT also set runtimeFilter.semiJoinReduction — it hangs all
+        # job scheduling on this Spark 4.1.2 build (verified: even
+        # range(3).count() never returns with it enabled).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

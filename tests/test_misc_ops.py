@@ -1,0 +1,146 @@
+"""Streaming wrapper, multimodal plumbing, CSV backup (S12), ML hooks (U10),
+search surface (T1/T2), analytics views (A1-A3)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_multimodal_features(spark):
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=120)
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3  # normalized histogram
+        assert r["n_bytes"] > 0
+    # determinism
+    rows2 = extract_features(media, dim=16).collect()
+    assert {(r["media_id"], tuple(r["feature"])) for r in rows} == {
+        (r["media_id"], tuple(r["feature"])) for r in rows2
+    }
+
+
+def test_ml_hooks_blend(spark):
+    from adavnceseo_crawler_spark.functions.mlhooks import ml_rank_urls
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/article/2024/01/x", 1.0),
+            ("https://a.com/page/9?q=1", 1.0),
+        ],
+        "url string, score double",
+    )
+    out = {r["url"]: r for r in ml_rank_urls(df).collect()}
+    art = out["https://a.com/article/2024/01/x"]
+    pag = out["https://a.com/page/9?q=1"]
+    assert art["has_keywords"] == 1 and art["has_date"] == 1
+    assert pag["is_pagination"] == 1 and pag["has_query"] == 1
+    assert art["ml_score"] > pag["ml_score"]  # stub model prefers articles
+    assert abs(art["blended"] - (0.7 * 1.0 + 0.3 * art["ml_score"])) < 1e-12
+
+
+def test_csv_backup_roundtrip(spark, tmp_path):
+    """S12: COPY ... TO CSV (postgres_storage.py:196-216) as df.write.csv."""
+    df = spark.createDataFrame(
+        [("https://a/x", "t1", 10), ("https://a/y", "t2", 20)],
+        "url string, title string, n int",
+    )
+    path = str(tmp_path / "backup_csv")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    assert {(r["url"], r["title"], r["n"]) for r in back.collect()} == {
+        ("https://a/x", "t1", 10),
+        ("https://a/y", "t2", 20),
+    }
+
+
+def test_search_surface(spark):
+    from adavnceseo_crawler_spark.operators.search import (
+        search_pages,
+        search_with_domain_filter,
+    )
+
+    parsed = spark.createDataFrame(
+        [
+            ("https://a.com/1", "spark engine", "about spark", "spark spark text"),
+            ("https://b.com/2", "other", "none", "spark mentioned once"),
+            ("https://b.com/3", "unrelated", "x", "nothing here"),
+        ],
+        "url string, title string, description string, text string",
+    )
+    hits = search_pages(parsed, "spark", size=10).collect()
+    assert [h["url"] for h in hits][:2] == ["https://a.com/1", "https://b.com/2"]
+    assert hits[0]["score"] > hits[1]["score"]
+    # T2 domain: filter
+    dom = search_with_domain_filter(parsed, "domain:b.com", size=10).collect()
+    assert {d["url"] for d in dom} == {"https://b.com/2", "https://b.com/3"}
+
+
+def test_streaming_availablenow(spark, tmp_path):
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.streaming import stream_crawl_log
+
+    import datetime as dt
+
+    rows = [
+        (0, f"https://h{i%3}/p{i}", "h", f"host{i%3}", 200, True, None, 0.1,
+         100, 1.0, dt.datetime(2025, 6, 1, i % 4))
+        for i in range(40)
+    ]
+    src_dir = str(tmp_path / "log")
+    spark.createDataFrame(rows, schemas.CRAWL_LOG).write.parquet(src_dir)
+    q = stream_crawl_log(
+        spark, src_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got1 = out.agg(F.sum("n")).collect()[0][0]
+    # append mode emits only windows sealed by the watermark (max ts 03:00,
+    # watermark 2h -> only the [00,01) window = rows with hour 0)
+    assert got1 == 10
+    # a later batch advances the watermark -> earlier windows finalize
+    late = [
+        (1, "https://h9/x", "h", "host9", 200, True, None, 0.1, 100, 1.0,
+         dt.datetime(2025, 6, 1, 10))
+    ]
+    spark.createDataFrame(late, schemas.CRAWL_LOG).write.mode("append").parquet(src_dir)
+    q2 = stream_crawl_log(
+        spark, src_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    got2 = out2.agg(F.sum("n")).collect()[0][0]
+    assert got2 == 40  # all 40 original fetches now emitted, exactly once
+
+
+def test_analytics_views(spark):
+    import datetime as dt
+
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.operators.analytics import (
+        daily_histogram,
+        domain_stats_sql,
+        top_domains,
+    )
+
+    rows = [
+        (0, f"https://h{i%2}/p{i}", "h", f"host{i%2}", 200, True, None,
+         0.5, 1000 * (i % 2 + 1), 1.0, dt.datetime(2025, 6, 1 + i % 2))
+        for i in range(20)
+    ]
+    log = spark.createDataFrame(rows, schemas.CRAWL_LOG)
+    stats = {r["host"]: r for r in domain_stats_sql(log).collect()}
+    assert stats["host0"]["page_count"] == 10
+    assert stats["host0"]["avg_content_length"] == 1000.0
+    top = top_domains(log, k=1).collect()
+    assert len(top) == 1
+    hist = daily_histogram(log).collect()
+    assert sum(r["n"] for r in hist) == 20

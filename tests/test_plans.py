@@ -1,0 +1,87 @@
+"""Physical-plan shape checks (SURVEY.md §4): broadcast joins where expected,
+parquet filter pushdown, salted top-k equivalence under Zipf skew."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adavnceseo_crawler_spark.operators.politeness import per_host_topk
+from adavnceseo_crawler_spark.operators.robotsops import apply_robots
+from adavnceseo_crawler_spark.synth import gen_robots
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_robots_join_is_broadcast(spark):
+    cand = spark.createDataFrame(
+        [("host0.example.com", "/tag/x"), ("host1.example.com", "/a")],
+        "host string, path string",
+    )
+    robots = gen_robots(spark, 6)
+    out = apply_robots(cand, robots)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1995-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    # column pruning: ReadSchema contains only the needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_salted_topk_equals_single_stage_under_skew(spark):
+    """Zipf-skewed hosts (FIXTURES.md skew_zipf): the two-stage salted
+    per-host top-k must return exactly the single-stage window's rows."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 2 == 0, "hot.example.com")  # 50% on one host
+            .otherwise(F.concat(F.lit("h"), (F.col("id") % 97).cast("string")))
+            .alias("host"),
+            F.concat(F.lit("https://u/"), F.col("id").cast("string")).alias("url"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("score"),
+        )
+        .cache()
+    )
+    budget = 7
+    salted = per_host_topk(df, budget, salt_buckets=8)
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+    single = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= budget)
+        .drop("rn")
+    )
+    a = {(r["host"], r["url"]) for r in salted.collect()}
+    b = {(r["host"], r["url"]) for r in single.collect()}
+    assert a == b
+    # politeness invariant under skew
+    over = (
+        salted.groupBy("host").count().filter(F.col("count") > budget).count()
+    )
+    assert over == 0
+    df.unpersist()
+
+
+def test_fetch_crawl_time_matches_python_mirror(spark):
+    from adavnceseo_crawler_spark.operators.fetch import crawl_time_col
+    from adavnceseo_crawler_spark.synth import crawl_time_of
+
+    urls = [f"https://h{i}.com/p{i}" for i in range(50)]
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(u, hashlib.sha256(u.encode()).hexdigest()) for u in urls],
+        "url string, url_hash string",
+    )
+    rows = df.withColumn("ct", crawl_time_col(F.col("url_hash"))).collect()
+    for r in rows:
+        assert abs(r["ct"] - crawl_time_of(r["url"])) < 1e-12
