@@ -27,6 +27,9 @@ class CrawlConfig:
     politeness_budget: int = 5
     batch_size: int = 1000
     max_rounds: int = 5
+    # 'priority' = intended zrange dequeue (url_frontier.py:82-88);
+    # 'fifo' = live-path LPOP (url_frontier.py:240-252)
+    dequeue_mode: str = "priority"
 
     # URL-seen structure
     use_bloom: bool = False  # False => exact anti-join (the small-scale oracle path)
@@ -39,6 +42,11 @@ class CrawlConfig:
 
     # retry policy (fetcher/crawler.py:124-126, settings.py:35)
     max_retries: int = 3
+
+    # persist the full ParsedPage table every round (the analytics surface
+    # reads it); throughput benches may disable it — pages/crawl_log/frontier
+    # state are always committed
+    store_parsed: bool = True
 
     user_agent: str = (
         "Mozilla/5.0 (compatible; CustomCrawler/1.0; +http://example.com/bot)"

@@ -78,8 +78,33 @@ def freshness_score(last_crawled: Column, now: Column) -> Column:
     )
 
 
-def relevance_score(avg_content_length: Column) -> Column:
-    return F.when(
+def keyword_relevance(url: Column, keyword_weights: dict[str, float]) -> Column:
+    """C16: ×weight for each keyword contained in the lowercased URL
+    (prioritizer.py:133-137).  Empty by default in the reference."""
+    score = F.lit(1.0)
+    lower = F.lower(url)
+    for kw, w in keyword_weights.items():
+        score = score * F.when(lower.contains(kw.lower()), F.lit(w)).otherwise(
+            F.lit(1.0)
+        )
+    return score
+
+
+def relevance_score(
+    avg_content_length: Column,
+    url: Column | None = None,
+    keyword_weights: dict[str, float] | None = None,
+    content_relevance: Column | None = None,
+) -> Column:
+    """prioritizer.py:120-145: content_relevance × keyword multipliers ×
+    content-rich-domain bonus; the first two default to neutral (the
+    reference ships empty keyword_weights and no content_relevance)."""
+    score = F.lit(1.0)
+    if content_relevance is not None:
+        score = score * F.coalesce(content_relevance, F.lit(1.0))
+    if keyword_weights and url is not None:
+        score = score * keyword_relevance(url, keyword_weights)
+    return score * F.when(
         avg_content_length.isNotNull() & (avg_content_length > 5000), F.lit(1.2)
     ).otherwise(F.lit(1.0))
 

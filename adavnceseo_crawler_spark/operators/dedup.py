@@ -80,10 +80,46 @@ def _h64(s: str) -> int:
 
 
 def _hash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for the hash family h_i(x) = a_i*x + b_i mod 2^64 with a_i odd —
+    a bijection on uint64, so min over images is a valid MinHash permutation
+    approximation; pure wraparound arithmetic, no big-int mod."""
     rng = np.random.RandomState(seed)  # fixed seed: signatures are deterministic
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    a = (rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64)
     return a, b
+
+
+_P = np.uint64(1_000_003)  # odd -> invertible mod 2^64
+_IP = np.uint64(pow(1_000_003, -1, 1 << 64))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    # splitmix64 finalizer (vectorized) — fixes the weak low bits of the
+    # mod-2^64 polynomial hash
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _shingle_hashes(t: str, k: int) -> np.ndarray:
+    """All k-byte shingle hashes of t, fully vectorized (rolling polynomial
+    hash mod 2^64 via prefix sums, splitmix64-finalized, deduplicated)."""
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = b.shape[0]
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        ipows = np.empty(n + 1, dtype=np.uint64)
+        ipows[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(n, _IP, dtype=np.uint64), out=ipows[1:])
+        pows = np.empty(n + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(n, _P, dtype=np.uint64), out=pows[1:])
+        pref = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum((b + np.uint64(1)) * ipows[:n], out=pref[1:])  # wraps mod 2^64
+        # window [i, i+k): (pref[i+k] - pref[i]) * p^(i+k-1)
+        h = (pref[k:] - pref[:-k]) * pows[k - 1 : n]
+    return np.unique(_mix64(h))
 
 
 def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
@@ -94,25 +130,48 @@ def make_minhash_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            if t is None or len(t) < shingle_k:
+            sh = _shingle_hashes(t, shingle_k) if t is not None else None
+            if sh is None or sh.shape[0] == 0:
                 out.append([0] * n_hashes)
                 continue
-            # blake2b, not builtin hash(): str hashing is process-seeded and
-            # would differ across Python workers
-            shingles = {
-                _h64(t[i : i + shingle_k]) & 0x7FFFFFFFFFFFFFFF
-                for i in range(len(t) - shingle_k + 1)
-            }
-            sh = np.fromiter(shingles, dtype=np.int64)
-            # (a*x + b) mod p for all hash fns × all shingles, min per fn
-            sig = (
-                (sh[None, :].astype(object) * a_p[:, None] + b_p[:, None])
-                % _MERSENNE
-            ).min(axis=1)
-            out.append([int(x) for x in sig])
+            with np.errstate(over="ignore"):
+                sig = (sh[None, :] * a_p[:, None] + b_p[:, None]).min(axis=1)
+            out.append([int(x) for x in sig.view(np.int64)])
         return pd.Series(out)
 
     return minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        make_minhash_udf(n_hashes, shingle_k)(F.col(text_col)).alias("sig"),
+    )
+
+
+def _band_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows + 1, rows).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
 
 
 def minhash_candidates(
@@ -128,26 +187,8 @@ def minhash_candidates(
     rows_per_band = n_hashes/bands; docs sharing any full band land in the
     same bucket.  The bucket join is an equi-join on (band, band_hash) — no
     cross product, shuffles on the bucket key only."""
-    assert n_hashes % bands == 0
-    rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        make_minhash_udf(n_hashes, shingle_k)(F.col(text_col)).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows + 1, rows).cast("string")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    banded = _band_buckets(sig, n_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -167,17 +208,23 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """LSH candidates verified by signature-estimated Jaccard ≥ threshold."""
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        make_minhash_udf(n_hashes, shingle_k)(F.col(text_col)).alias("sig"),
-    ).cache()
-    cand = minhash_candidates(df, text_col, id_col, n_hashes, bands, shingle_k)
-    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    """LSH candidates verified by signature-estimated Jaccard ≥ threshold.
+    Signatures are computed ONCE and reused for banding and verification."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
+    banded = _band_buckets(sig, n_hashes, bands)
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "est_jaccard",
             F.size(

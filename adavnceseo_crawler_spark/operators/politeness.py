@@ -57,7 +57,37 @@ def schedule_batch(
     budget: int,
     batch_size: int,
     salt_buckets: int = 8,
+    mode: str = "priority",
 ) -> DataFrame:
-    """Politeness top-k then global priority cut (score desc, url asc)."""
+    """Politeness top-k then a global cut.
+
+    mode='priority' (default): score desc, url asc — the intended dequeue
+    (url_frontier.py:82-88).  mode='fifo': seq asc, url asc — the live-path
+    LPOP special case (url_frontier.py:240-252, SURVEY.md S3)."""
+    if mode == "fifo":
+        order = [F.asc("seq"), F.asc("url")]
+        per_host = per_host_topk_by(df, budget, salt_buckets, order)
+        return per_host.orderBy(*order).limit(batch_size)
     per_host = per_host_topk(df, budget, salt_buckets)
     return per_host.orderBy(F.desc("score"), F.asc("url")).limit(batch_size)
+
+
+def per_host_topk_by(
+    df: DataFrame, budget: int, salt_buckets: int, order: list
+) -> DataFrame:
+    if salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        df = (
+            salted.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= budget)
+            .drop("_rn1", "_salt")
+        )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        df.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= budget)
+        .drop("_rn2")
+    )

@@ -64,6 +64,13 @@ def run_round(
 ) -> dict:
     t0 = time.monotonic()
     now = round_ts(round_no)
+    times: dict[str, float] = {}
+    _last = [t0]
+
+    def tick(label: str) -> None:
+        t = time.monotonic()
+        times[label] = round(times.get(label, 0.0) + (t - _last[0]), 3)
+        _last[0] = t
 
     frontier = cat.read("frontier")
     if frontier is None:
@@ -127,9 +134,11 @@ def run_round(
 
     # ---- politeness + priority dequeue (F4/W1) --------------------------------
     scheduled = schedule_batch(
-        allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets
+        allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets,
+        mode=cfg.dequeue_mode,
     ).cache()
     n_scheduled = scheduled.count()
+    tick("schedule")
     leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
 
     # ---- fetch (S5/J6) ---------------------------------------------------------
@@ -138,7 +147,14 @@ def run_round(
     failed = fetched.filter(~F.col("success"))
 
     # ---- parse (U1) + quality (A8) ----------------------------------------------
-    parsed = parse_pages(ok.select("url", "html", "warc_ts")).cache()
+    # AQE coalesces the small fetch-join output toward 64MB partitions, which
+    # would starve the expensive Arrow parse stage down to 1-2 cores; re-widen
+    # to cluster parallelism before entering mapInPandas (at lake scale this
+    # is the bucket repartition that co-locates parse with the pages layout)
+    par = 4 * spark.sparkContext.defaultParallelism  # over-split for stragglers
+    parsed = parse_pages(
+        ok.select("url", "html", "warc_ts").repartition(par, F.col("url"))
+    ).cache()
     enriched = parsed.select(
         "url",
         "text",
@@ -227,6 +243,7 @@ def run_round(
         .select("url", "url_hash", "host", "depth")
     )
     n_links = new_cand.count()
+    tick("fetch_parse_links")
 
     if cfg.use_bloom:
         params = bloomops.BloomParams(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_buckets)
@@ -242,6 +259,7 @@ def run_round(
             seen.select("url_hash"), "url_hash", "left_anti"
         ).cache()
         n_new = survivors.count()
+    tick("dedup")
 
     # ---- next frontier -------------------------------------------------------------
     front_cols = [f.name for f in schemas.FRONTIER.fields]
@@ -311,16 +329,21 @@ def run_round(
         )
     )
     metrics_df = spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
+    tick("metrics")
 
     # ---- commits (snapshot per table, then the round checkpoint) --------------------
     cat.commit("crawl_log", new_log, mode="append", meta={"round": round_no})
+    tick("commit_log")
     cat.commit("pages", pages_out, mode="append", meta={"round": round_no})
-    cat.commit(
-        "parsed",
-        parsed.select([f.name for f in schemas.PARSED.fields]),
-        mode="append",
-        meta={"round": round_no},
-    )
+    tick("commit_pages")
+    if cfg.store_parsed:
+        cat.commit(
+            "parsed",
+            parsed.select([f.name for f in schemas.PARSED.fields]),
+            mode="append",
+            meta={"round": round_no},
+        )
+        tick("commit_parsed")
     cat.commit(
         "url_seen",
         survivors.select(
@@ -329,6 +352,7 @@ def run_round(
         mode="append",
         meta={"round": round_no},
     )
+    tick("commit_seen")
     # url_metadata MERGE (J7): upsert rows for every fetched/failed url
     upd = (
         new_log.filter(F.col("error").isNull() | (F.col("error") != "robots_disallowed"))
@@ -342,6 +366,7 @@ def run_round(
         )
     )
     cat.commit("url_metadata", upd, mode="append", meta={"round": round_no})
+    tick("commit_meta")
     # domain_stats (A9 adopted aggregate) maintained incrementally — merge
     # this round's per-host sums; no rescan of the ever-growing crawl_log
     dstats_new = scoring.domain_stats_update(
@@ -353,8 +378,11 @@ def run_round(
         mode="overwrite",
         meta={"round": round_no},
     )
+    tick("commit_dstats")
     cat.commit("frontier", next_frontier, mode="overwrite", meta={"round": round_no + 1})
+    tick("commit_frontier")
     cat.commit("round_metrics", metrics_df, mode="append", meta={"round": round_no})
+    tick("commit_rmetrics")
 
     for df in (frontier, cand, scheduled, fetched, ok, parsed, enriched, new_log, survivors):
         df.unpersist()
@@ -368,5 +396,6 @@ def run_round(
         "links": n_links,
         "new_urls": n_new,
         "wall_ms": wall_ms,
+        "times": times,
         "done": False,
     }

@@ -1160,3 +1160,92 @@ def q42(spark, sf):
         "p_partkey", "url", F.round("ml_score", 6).alias("ml_score"),
         F.round("blended", 6).alias("blended"),
     )
+
+
+@q(
+    "q43_content_cleaner",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace('<script>var x;</script>' || text || '<style>.c{}</style>',
+                              '<script.*?</script>', '', 'gs'),
+               '<style.*?</style>', '', 'gs'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def q43(spark, sf):
+    """U2 ContentCleaner: script/style strip + whitespace collapse
+    (processor.py:53-79) as a native regexp_replace chain — no UDF."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("<script>var x;</script>"), F.col("text"), F.lit("<style>.c{}</style>")
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, r"(?s)<script.*?</script>", ""),
+                r"(?s)<style.*?</style>",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
+@q(
+    "q44_entity_stub",
+    """
+    SELECT doc_id, entity, CAST(count(*) AS BIGINT) AS mentions FROM (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[A-Z][a-z]{2,}')) AS entity
+      FROM documents)
+    GROUP BY doc_id, entity
+    """,
+)
+def q44(spark, sf):
+    """U7 shape: capitalized-token entity mention extraction (deterministic
+    stand-in for the spaCy/BERT NER of processor.py:289-366; the model slots
+    in via mlhooks.make_predict_udf on a real cluster)."""
+    d = _t(spark, sf, "documents")
+    ents = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit("[A-Z][a-z]{2,}"), F.lit(0))
+        ).alias("entity"),
+    )
+    return ents.groupBy("doc_id", "entity").agg(F.count(F.lit(1)).alias("mentions"))
+
+
+@q(
+    "q45_keyword_relevance",
+    f"""
+    WITH u AS (
+      SELECT p_partkey,
+             CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                  ELSE 'https://' || raw_url END AS url
+      FROM ({_URL_SYNTH_SQL}))
+    SELECT p_partkey,
+           round(CAST(1.0 AS DOUBLE)
+             * (CASE WHEN contains(lower(url), 'part') THEN 1.5 ELSE 1.0 END)
+             * (CASE WHEN contains(lower(url), 'site3') THEN 0.7 ELSE 1.0 END), 6)
+             AS relevance
+    FROM u
+    """,
+)
+def q45(spark, sf):
+    """C16: keyword-in-url relevance multipliers (prioritizer.py:133-137)."""
+    from .functions.scoring import keyword_relevance
+    from .functions.urls import normalize_scheme
+
+    u = _url_synth_spark(spark, sf).select(
+        "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
+    )
+    return u.select(
+        "p_partkey",
+        F.round(
+            keyword_relevance(F.col("url"), {"part": 1.5, "site3": 0.7}), 6
+        ).alias("relevance"),
+    )

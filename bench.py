@@ -47,6 +47,10 @@ HEADLINE = [
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
 CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "400"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "3"))
+# seed wide: the metric is per-round throughput on a warm frontier
+# (BASELINE.json: "per round on a 10^10-URL synthetic frontier"), not BFS
+# warm-up from a handful of seeds
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "40000"))
 
 
 def crawl_bench(spark, cpus: int) -> dict:
@@ -69,7 +73,7 @@ def crawl_bench(spark, cpus: int) -> dict:
         web = synth.gen_pages(spark, CRAWL_PAGES, CRAWL_HOSTS, partitions=parts)
         loop.bootstrap(
             spark, cat, cfg,
-            synth.gen_seeds(spark, CRAWL_PAGES, CRAWL_HOSTS, n_seeds=64),
+            synth.gen_seeds(spark, CRAWL_PAGES, CRAWL_HOSTS, n_seeds=CRAWL_SEEDS),
             web,
             synth.gen_robots(spark, CRAWL_HOSTS),
         )

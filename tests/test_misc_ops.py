@@ -144,3 +144,55 @@ def test_analytics_views(spark):
     assert len(top) == 1
     hist = daily_histogram(log).collect()
     assert sum(r["n"] for r in hist) == 20
+
+
+def test_fifo_dequeue_mode(spark):
+    """S3: the live-path LPOP special case — order by arrival seq."""
+    from adavnceseo_crawler_spark.operators.politeness import schedule_batch
+
+    df = spark.createDataFrame(
+        [
+            ("h1", "https://h1/b", 0.9, 2),
+            ("h1", "https://h1/a", 0.1, 1),
+            ("h2", "https://h2/c", 0.5, 0),
+        ],
+        "host string, url string, score double, seq long",
+    )
+    fifo = schedule_batch(df, budget=5, batch_size=2, salt_buckets=2, mode="fifo")
+    assert [r["url"] for r in fifo.collect()] == ["https://h2/c", "https://h1/a"]
+    prio = schedule_batch(df, budget=5, batch_size=2, salt_buckets=2)
+    assert [r["url"] for r in prio.collect()] == ["https://h1/b", "https://h2/c"]
+
+
+def test_merge_upsert(spark):
+    """S9/J7: MERGE upsert semantics (updates win, inserts appended)."""
+    from adavnceseo_crawler_spark.catalog import merge_upsert
+
+    old = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    upd = spark.createDataFrame([("b", 20), ("c", 30)], "k string, v int")
+    got = {(r["k"], r["v"]) for r in merge_upsert(old, upd, "k").collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 30)}
+    assert {(r["k"], r["v"]) for r in merge_upsert(None, upd, "k").collect()} == {
+        ("b", 20), ("c", 30),
+    }
+
+
+def test_point_get_pruned(spark):
+    """S8/S10: point lookup by url_hash — filter reaches the parquet scan."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(f"https://h/{i}", hashlib.sha256(f"https://h/{i}".encode()).hexdigest())
+         for i in range(100)],
+        "url string, url_hash string",
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/pages_pq"
+    df.write.parquet(path)
+    h = hashlib.sha256(b"https://h/7").hexdigest()
+    q = spark.read.parquet(path).where(F.col("url_hash") == h)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "url_hash" in plan
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://h/7"
