@@ -35,7 +35,14 @@ from adavnceseo_crawler_spark.plans import loop
 from adavnceseo_crawler_spark import synth
 
 N_PAGES, N_HOSTS, ROUNDS = %(pages)d, %(hosts)d, %(rounds)d
-spark = get_spark("scalebench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark = get_spark("scalebench", master=f"local[{cpus}]", shuffle_partitions=2*cpus,
+  extra_conf={
+    # straggler mitigation: on this shared VM a stolen vCPU stalls whole
+    # stage barriers at full width; speculation re-launches slow tasks
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "1.5",
+    "spark.speculation.quantile": "0.75",
+  })
 cfg = CrawlConfig(politeness_budget=%(budget)d, batch_size=N_PAGES,
                   max_rounds=ROUNDS, store_parsed=False)
 wh = tempfile.mkdtemp(prefix=f"scale{cpus}_")

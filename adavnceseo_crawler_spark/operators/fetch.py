@@ -30,18 +30,31 @@ def crawl_time_col(url_hash) -> "F.Column":
     )
 
 
-def fetch_batch(scheduled: DataFrame, web: DataFrame) -> DataFrame:
-    """Left join the scheduled batch against the web; adds html/warc_ts/
-    success/status_code/crawl_time columns."""
-    fetched = scheduled.join(
-        web.select("url", "html", "warc_ts", F.col("lang").alias("src_lang")),
-        "url",
-        "left",
-    )
-    return (
-        fetched.withColumn("success", F.col("html").isNotNull())
-        .withColumn(
-            "status_code", F.when(F.col("success"), 200).otherwise(404)
-        )
+def fetch_batch(scheduled: DataFrame, web: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(hits, misses) for the scheduled batch against the web.
+
+    The page payloads (html) must NEVER shuffle — at 100 TB that is the whole
+    dataset moving.  So the hit path is an INNER hash join with the small
+    scheduled batch broadcast as the build side: the web scan is probed in
+    place and parse inherits the scan's partitioning.  Misses are a urls-only
+    anti-join (no payload columns).  At extreme batch sizes (>~10^7 URLs) the
+    broadcast hint should be dropped and AQE left to choose; the politeness
+    budget bounds the batch well below that in practice."""
+    # broadcast only the columns the hit path consumes — the full scheduled
+    # row is wide (scores, robots, stats) and the broadcast collect is
+    # driver-serial; the slim projection is a few MB
+    slim = scheduled.select("url", "url_hash", "host", "depth")
+    hits = (
+        web.select("url", "html", "warc_ts", F.col("lang").alias("src_lang"))
+        .join(F.broadcast(slim), "url", "inner")
+        .withColumn("success", F.lit(True))
+        .withColumn("status_code", F.lit(200))
         .withColumn("crawl_time", crawl_time_col(F.col("url_hash")))
     )
+    misses = (
+        scheduled.join(web.select("url"), "url", "left_anti")
+        .withColumn("success", F.lit(False))
+        .withColumn("status_code", F.lit(404))
+        .withColumn("crawl_time", F.lit(None).cast("double"))
+    )
+    return hits, misses

@@ -142,19 +142,13 @@ def run_round(
     leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
 
     # ---- fetch (S5/J6) ---------------------------------------------------------
-    fetched = fetch_batch(scheduled, web).cache()
-    ok = fetched.filter(F.col("success")).cache()
-    failed = fetched.filter(~F.col("success"))
+    # hits = web ⋈ broadcast(scheduled): html never shuffles, parse inherits
+    # the web scan's partitioning (fetch.py docstring)
+    ok, failed = fetch_batch(scheduled, web)
+    ok = ok.cache()
 
     # ---- parse (U1) + quality (A8) ----------------------------------------------
-    # AQE coalesces the small fetch-join output toward 64MB partitions, which
-    # would starve the expensive Arrow parse stage down to 1-2 cores; re-widen
-    # to cluster parallelism before entering mapInPandas (at lake scale this
-    # is the bucket repartition that co-locates parse with the pages layout)
-    par = 4 * spark.sparkContext.defaultParallelism  # over-split for stragglers
-    parsed = parse_pages(
-        ok.select("url", "html", "warc_ts").repartition(par, F.col("url"))
-    ).cache()
+    parsed = parse_pages(ok.select("url", "html", "warc_ts")).cache()
     enriched = parsed.select(
         "url",
         "text",
@@ -227,7 +221,7 @@ def run_round(
             F.col("url").alias("src_url"), F.explode("links").alias("href")
         )
         .join(
-            scheduled.select(F.col("url").alias("src_url"), "depth"),
+            F.broadcast(ok.select(F.col("url").alias("src_url"), "depth")),
             "src_url",
         )
         .withColumn("link", canonicalize_url_udf(F.col("href")))
@@ -332,27 +326,6 @@ def run_round(
     tick("metrics")
 
     # ---- commits (snapshot per table, then the round checkpoint) --------------------
-    cat.commit("crawl_log", new_log, mode="append", meta={"round": round_no})
-    tick("commit_log")
-    cat.commit("pages", pages_out, mode="append", meta={"round": round_no})
-    tick("commit_pages")
-    if cfg.store_parsed:
-        cat.commit(
-            "parsed",
-            parsed.select([f.name for f in schemas.PARSED.fields]),
-            mode="append",
-            meta={"round": round_no},
-        )
-        tick("commit_parsed")
-    cat.commit(
-        "url_seen",
-        survivors.select(
-            "url_hash", "url", F.lit(round_no + 1).alias("round")
-        ),
-        mode="append",
-        meta={"round": round_no},
-    )
-    tick("commit_seen")
     # url_metadata MERGE (J7): upsert rows for every fetched/failed url
     upd = (
         new_log.filter(F.col("error").isNull() | (F.col("error") != "robots_disallowed"))
@@ -365,26 +338,45 @@ def run_round(
             "content_length",
         )
     )
-    cat.commit("url_metadata", upd, mode="append", meta={"round": round_no})
-    tick("commit_meta")
     # domain_stats (A9 adopted aggregate) maintained incrementally — merge
     # this round's per-host sums; no rescan of the ever-growing crawl_log
     dstats_new = scoring.domain_stats_update(
         dstats if cat.exists("domain_stats") else None, new_log
     ).withColumn("content_type_count", F.lit(None).cast("int"))
-    cat.commit(
-        "domain_stats",
-        dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
-        mode="overwrite",
-        meta={"round": round_no},
-    )
-    tick("commit_dstats")
-    cat.commit("frontier", next_frontier, mode="overwrite", meta={"round": round_no + 1})
-    tick("commit_frontier")
-    cat.commit("round_metrics", metrics_df, mode="append", meta={"round": round_no})
-    tick("commit_rmetrics")
 
-    for df in (frontier, cand, scheduled, fetched, ok, parsed, enriched, new_log, survivors):
+    # the 8 table commits are independent of each other: run them as
+    # concurrent Spark jobs (separate threads; the scheduler interleaves
+    # stages) so the round pays one commit latency, not eight — the
+    # checkpoint manifest is still written strictly after ALL commits land
+    commits: list[tuple] = [
+        ("crawl_log", new_log, "append"),
+        ("pages", pages_out, "append"),
+        ("url_seen",
+         survivors.select("url_hash", "url", F.lit(round_no + 1).alias("round")),
+         "append"),
+        ("url_metadata", upd, "append"),
+        ("domain_stats",
+         dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
+         "overwrite"),
+        ("frontier", next_frontier, "overwrite"),
+        ("round_metrics", metrics_df, "append"),
+    ]
+    if cfg.store_parsed:
+        commits.append(
+            ("parsed", parsed.select([f.name for f in schemas.PARSED.fields]), "append")
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _do(c):
+        table, df, mode = c
+        m = {"round": round_no + 1} if table == "frontier" else {"round": round_no}
+        cat.commit(table, df, mode=mode, meta=m)
+
+    with ThreadPoolExecutor(max_workers=len(commits)) as pool:
+        list(pool.map(_do, commits))
+    tick("commits")
+
+    for df in (frontier, cand, scheduled, ok, parsed, enriched, new_log, survivors):
         df.unpersist()
 
     return {

@@ -196,3 +196,37 @@ def test_point_get_pruned(spark):
     assert "PushedFilters" in plan and "url_hash" in plan
     rows = q.collect()
     assert len(rows) == 1 and rows[0]["url"] == "https://h/7"
+
+
+def test_stateful_host_stats(spark, tmp_path):
+    """applyInPandasWithState: state persists across AvailableNow drains."""
+    import datetime as dt
+
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.streaming.stateful import stream_host_stats
+
+    def rows(n0, n1, hour):
+        return [
+            (0, f"https://h{i%2}/p{i}-{hour}", "h", f"host{i%2}", 200, i % 4 != 3,
+             None, 0.1, 100, 1.0, dt.datetime(2025, 6, 1, hour))
+            for i in range(n0, n1)
+        ]
+
+    src = str(tmp_path / "slog")
+    spark.createDataFrame(rows(0, 20, 0), schemas.CRAWL_LOG).write.parquet(src)
+    q = stream_host_stats(spark, src, str(tmp_path / "sout"), str(tmp_path / "sckpt"))
+    q.awaitTermination(120)
+    # second drain with more data: running totals must include the first
+    spark.createDataFrame(rows(20, 30, 1), schemas.CRAWL_LOG).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_host_stats(spark, src, str(tmp_path / "sout"), str(tmp_path / "sckpt"))
+    q2.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sout"))
+    latest = {
+        r["host"]: r
+        for r in out.orderBy("total_count").collect()  # last wins per host
+    }
+    assert latest["host0"]["total_count"] == 15
+    assert latest["host1"]["total_count"] == 15
+    assert latest["host0"]["total_count"] + latest["host1"]["total_count"] == 30
