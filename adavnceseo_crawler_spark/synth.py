@@ -273,14 +273,17 @@ def robots_rows(n_hosts: int) -> list[tuple]:
 
 
 def robots_allows(rules: list[tuple] | None, path: str) -> bool:
-    """Longest-prefix-match; default allow (permissive on missing robots)."""
+    """Longest-prefix-match; default allow (permissive on missing robots,
+    url_frontier.py:153-158).  Equal-length tie resolves toward allow — the
+    least-restrictive rule, per RFC 9309 §2.2.2 — matching the engine's
+    array_max(struct(len, allow)) expression."""
     if not rules:
         return True
-    best_len, best_allow = -1, True
+    best = (-1, True)
     for allow, prefix in rules:
-        if path.startswith(prefix) and len(prefix) > best_len:
-            best_len, best_allow = len(prefix), allow
-    return best_allow
+        if path.startswith(prefix):
+            best = max(best, (len(prefix), allow))
+    return best[1]
 
 
 # ---------------------------------------------------------------------------

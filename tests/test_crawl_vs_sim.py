@@ -153,3 +153,31 @@ def test_round_metrics_lineage(engine_run):
     }
     for r in per_part:
         assert r["s"] == glob[r["round"]]
+
+
+def test_parity_tight_budget_config(spark, tmp_path):
+    """Second config (north_rule: 'under the same seed list + politeness
+    budget'): budget=1, batch=8 stresses tie-breaks and leftover carry-over
+    across many rounds."""
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+
+    n, h = 200, 5
+    cfg = CrawlConfig(politeness_budget=1, batch_size=8, max_rounds=7)
+    cat = SnapshotCatalog(spark, str(tmp_path / "tight"))
+    crawl_loop.bootstrap(
+        spark, cat, cfg,
+        synth.gen_seeds(spark, n, h),
+        synth.gen_pages(spark, n, h, partitions=4),
+        synth.gen_robots(spark, h),
+    )
+    crawl_loop.run_crawl(spark, cat, cfg)
+    s = sim.simulate(n, h, cfg)
+
+    log = cat.read("crawl_log")
+    eng = {}
+    for r in log.filter(F.col("success")).select("round", "url").collect():
+        eng.setdefault(r["round"], set()).add(r["url"])
+    for rr in s.rounds:
+        assert eng.get(rr.round_no, set()) == set(rr.fetched), f"round {rr.round_no}"
+    eng_seen = {r["url"] for r in cat.read("url_seen").select("url").collect()}
+    assert eng_seen == s.seen
