@@ -103,28 +103,10 @@ def main() -> None:
         "all_walls": {c: [r["wall_sec"] for r in rs] for c, rs in runs.items()},
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            "# Scaling evidence (north_rule: efficiency >= 0.8 between N and 4N)\n\n"
-            f"Same crawl job ({rounds} rounds, {pages} synthetic pages, {hosts} Zipf hosts,\n"
-            f"{seeds} seed URLs, per-host budget {budget}), identical input, fresh JVM per\n"
-            f"measurement, {repeats} interleaved repeats per level, min wall taken\n"
-            "(this VM shows time-varying CPU steal).  local[8] = N, local[32] = 4N\n"
-            "on a 32-vCPU box; on a real cluster the same job runs via\n"
-            "`spark-submit --py-files` (jobs/crawl.py) at N / 4N executors.\n\n"
-            "| parallelism | wall_sec | urls fetched | links deduped | urls/sec |\n"
-            "|---|---|---|---|---|\n"
-            f"| local[8]  (N)  | {lo['wall_sec']} | {lo['fetched']} | {lo['deduped']} | {lo['urls_per_sec']} |\n"
-            f"| local[32] (4N) | {hi['wall_sec']} | {hi['fetched']} | {hi['deduped']} | {hi['urls_per_sec']} |\n\n"
-            f"**Scaling efficiency tp_4N / (4 x tp_N) = {eff:.3f}**\n\n"
-            f"All walls (sec) across repeats: {json.dumps({str(k): [r['wall_sec'] for r in v] for k, v in runs.items()})}\n\n"
-            "Regime note: per-round fixed costs (job launch, snapshot commit\n"
-            "latency, ~8s/round independent of cores) are constant in core count;\n"
-            "they amortize completely at the 10^10-URL/1000-executor scale the\n"
-            "metric names, but at sandbox scale they bound the measurable\n"
-            "efficiency.  The config above sizes rounds (~3x10^5 URLs fetched+\n"
-            "parsed each) so the compute/shuffle fraction dominates.\n"
-        )
+    # raw result lands in a JSON next to the hand-authored analysis
+    # (BENCH/BASELINE.md) rather than overwriting it
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
