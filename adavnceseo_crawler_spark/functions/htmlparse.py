@@ -207,17 +207,31 @@ def parse_page(url: str, html: bytes | str) -> dict:
 # ---------------------------------------------------------------------------
 # Spark-side: mapInPandas over (url, html [, warc_ts]) -> PARSED rows
 # ---------------------------------------------------------------------------
-def parse_pages(df):
+def parse_pages(df, passthrough: list[str] | None = None):
     """Vectorized ParsedPage extraction.  Input needs url + html columns;
     warc_ts (if present) passes through as the parse timestamp ``ts`` —
     the reference stamps datetime.now() (html_parser.py:70), which is
-    nondeterministic; adopted semantics: event time of the page."""
+    nondeterministic; adopted semantics: event time of the page.
+
+    ``passthrough`` columns are copied verbatim onto the output rows, which
+    lets the crawl round derive pages/log/links by pure projection — no
+    re-join (and hence no payload shuffle) after the parse stage."""
     import pandas as pd
+    from pyspark.sql import types as T
 
     from ..schemas import PARSED
 
+    passthrough = [c for c in (passthrough or []) if c not in ("url",)]
     has_ts = "warc_ts" in df.columns
     cols = ["url", "html"] + (["warc_ts"] if has_ts else [])
+    cols += [c for c in passthrough if c not in cols]
+
+    in_fields = {f.name: f for f in df.select(*cols).schema.fields}
+    out_schema = T.StructType(
+        list(PARSED.fields)
+        + [in_fields[c] for c in passthrough if c not in PARSED.fieldNames()]
+    )
+    out_cols = out_schema.fieldNames()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -229,13 +243,10 @@ def parse_pages(df):
                     for d in r["images"]
                 ]
                 r["ts"] = pdf["warc_ts"].iat[i] if has_ts else None
+                for c in passthrough:
+                    if c not in r:
+                        r[c] = pdf[c].iat[i]
                 rows.append(r)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "title", "description", "keywords", "text",
-                    "links", "images", "metadata", "headers", "ts",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.select(*cols).mapInPandas(run, schema=PARSED)
+    return df.select(*cols).mapInPandas(run, schema=out_schema)

@@ -145,40 +145,43 @@ def run_round(
     # hits = web ⋈ broadcast(scheduled): html never shuffles, parse inherits
     # the web scan's partitioning (fetch.py docstring)
     ok, failed = fetch_batch(scheduled, web)
-    ok = ok.cache()
 
     # ---- parse (U1) + quality (A8) ----------------------------------------------
-    parsed = parse_pages(ok.select("url", "html", "warc_ts")).cache()
-    enriched = parsed.select(
-        "url",
-        "text",
-        "links",
-        F.length("text").cast("long").alias("content_length"),
+    # passthrough columns ride along through mapInPandas so pages/log/links
+    # are derived by PROJECTION from one cached result — no downstream join
+    # ever touches the html payload again
+    parsed = parse_pages(
+        ok,
+        passthrough=[
+            "html", "src_lang", "url_hash", "host", "status_code",
+            "crawl_time", "depth", "warc_ts",
+        ],
+    ).cache()
+    enriched = parsed.withColumn(
+        "content_length", F.length("text").cast("long")
+    ).withColumn(
+        "quality_score",
         quality_score_col(
             F.col("text"),
             F.coalesce(F.size(F.element_at("headers", "h1")), F.lit(0)) > 0,
             F.col("description"),
             F.col("keywords"),
-        ).alias("quality_score"),
-    ).cache()
+        ),
+    )
 
     # ---- crawl_log append (S11 replacement) -------------------------------------
-    log_ok = (
-        ok.select("url", "url_hash", "host", "status_code", "crawl_time")
-        .join(enriched.select("url", "content_length", "quality_score"), "url")
-        .select(
-            F.lit(round_no).alias("round"),
-            "url",
-            "url_hash",
-            "host",
-            "status_code",
-            F.lit(True).alias("success"),
-            F.lit(None).cast("string").alias("error"),
-            "crawl_time",
-            "content_length",
-            "quality_score",
-            F.lit(now).alias("fetched_ts"),
-        )
+    log_ok = enriched.select(
+        F.lit(round_no).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        "status_code",
+        F.lit(True).alias("success"),
+        F.lit(None).cast("string").alias("error"),
+        "crawl_time",
+        "content_length",
+        "quality_score",
+        F.lit(now).alias("fetched_ts"),
     )
     log_fail = failed.select(
         F.lit(round_no).alias("round"),
@@ -209,21 +212,13 @@ def run_round(
     new_log = log_ok.unionByName(log_fail).unionByName(log_blocked).cache()
 
     # ---- pages append (S7 replacement: engine-extracted text) --------------------
-    pages_out = (
-        ok.select("url", "warc_ts", "html", F.col("src_lang").alias("lang"))
-        .join(enriched.select("url", "text"), "url")
-        .select("url", "warc_ts", "html", "text", "lang")
+    pages_out = enriched.select(
+        "url", "warc_ts", "html", "text", F.col("src_lang").alias("lang")
     )
 
     # ---- link discovery (U1 links → F7/F8/F6 → J1 dedup) --------------------------
     links = (
-        enriched.select(
-            F.col("url").alias("src_url"), F.explode("links").alias("href")
-        )
-        .join(
-            F.broadcast(ok.select(F.col("url").alias("src_url"), "depth")),
-            "src_url",
-        )
+        enriched.select("depth", F.explode("links").alias("href"))
         .withColumn("link", canonicalize_url_udf(F.col("href")))
         .filter(link_keep_predicate(F.col("link")))
     )
@@ -299,7 +294,7 @@ def run_round(
 
     # ---- metrics (per-partition lineage, north_rule) --------------------------------
     part_stats = (
-        ok.groupBy(F.spark_partition_id().alias("partition_id"))
+        parsed.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("pages_fetched"),
             F.sum(F.octet_length("html")).alias("bytes"),
@@ -376,7 +371,7 @@ def run_round(
         list(pool.map(_do, commits))
     tick("commits")
 
-    for df in (frontier, cand, scheduled, ok, parsed, enriched, new_log, survivors):
+    for df in (frontier, cand, scheduled, parsed, new_log, survivors):
         df.unpersist()
 
     return {
