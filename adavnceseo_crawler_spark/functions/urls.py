@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
+_HEX = set("0123456789abcdefABCDEF")
 
 # binary extensions dropped from discovered links (html_parser.py:27-33)
 IGNORED_EXTENSIONS = (
@@ -40,15 +41,14 @@ def _norm_percent(s: str) -> str:
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
-        if ch == "%" and i + 2 < n + 1 and i + 3 <= n:
+        if ch == "%" and i + 3 <= n:
             hexpart = s[i + 1 : i + 3]
-            try:
-                code = int(hexpart, 16)
-            except ValueError:
+            # both chars must be hex digits — int('-1', 16) would "parse"
+            if not (hexpart[0] in _HEX and hexpart[1] in _HEX):
                 out.append(ch)
                 i += 1
                 continue
-            dec = chr(code)
+            dec = chr(int(hexpart, 16))
             if dec in _UNRESERVED:
                 out.append(dec)
             else:
