@@ -43,6 +43,16 @@ class CrawlConfig:
     # retry policy (fetcher/crawler.py:124-126, settings.py:35)
     max_retries: int = 3
 
+    # fetch operator: "synthetic" = equi-join vs the catalog's web table
+    # (deterministic; tests/bench), "http" = real batched HTTP per partition
+    # (operators/httpfetch.py — the cluster path).  http_base_rewrite swaps a
+    # URL prefix on the way out/back so fixtures can serve canonical URLs.
+    fetch_mode: str = "synthetic"
+    http_base_rewrite: tuple[str, str] | None = None
+    request_timeout: float = 30.0  # settings.py:19
+    http_inflight_retries: int = 3  # in-request retries (settings.py:35)
+    http_retry_delay: float = 1.0  # backoff base (crawler.py:124-126)
+
     # persist the full ParsedPage table every round (the analytics surface
     # reads it); throughput benches may disable it — pages/crawl_log/frontier
     # state are always committed

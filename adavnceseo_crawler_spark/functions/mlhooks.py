@@ -87,6 +87,66 @@ def stub_linear_model(pdf: pd.DataFrame) -> pd.Series:
     return 1.0 / (1.0 + (-z).map(lambda v: 2.718281828459045**v))
 
 
+# ---------------------------------------------------------------------------
+# training path (U10/U11): closed-form OLS from one distributed pass of
+# sufficient statistics.  The reference trains GradientBoosting/XGBoost on URL
+# features offline (ml/url_prioritizer.py:195-311); sklearn is not in this
+# sandbox, so the engine ships the model family that IS trainable exactly at
+# 100 TB inside Spark: linear least squares via the normal equations, whose
+# sufficient statistics (means and second moments) are a single map-side-
+# combinable aggregate — no toPandas, no iteration, no driver-side data.
+# ---------------------------------------------------------------------------
+def ols2_coeffs_from_sums(
+    n: int, s1: int, s2: int, sy: int, s11: int, s12: int, s22: int,
+    s1y: int, s2y: int,
+) -> dict[str, float]:
+    """Coefficients from EXACT integer sufficient statistics.  Kept as a pure
+    function so the DuckDB oracle SQL can mirror the identical double-op
+    sequence (same IEEE operand order → bit-identical coefficients and
+    predictions — float partial-agg order never enters, because the sums are
+    exact integers)."""
+    m1 = s1 / n
+    m2 = s2 / n
+    my = sy / n
+    c11 = s11 / n - m1 * m1
+    c12 = s12 / n - m1 * m2
+    c22 = s22 / n - m2 * m2
+    c1y = s1y / n - m1 * my
+    c2y = s2y / n - m2 * my
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return {"intercept": my - b1 * m1 - b2 * m2, "b1": b1, "b2": b2}
+
+
+def fit_ols2(df: DataFrame, f1: str, f2: str, label: str) -> dict[str, float]:
+    """Exact 2-feature OLS (intercept + β1·f1 + β2·f2) via the normal
+    equations.  Inputs must be INTEGER-valued columns (scale fixed-point
+    labels up, e.g. price cents) so the one-pass sufficient statistics are
+    exact longs — map-side combinable, order-independent, reproducible."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(f1).cast("long")).alias("s1"),
+        F.sum(F.col(f2).cast("long")).alias("s2"),
+        F.sum(F.col(label).cast("long")).alias("sy"),
+        F.sum((F.col(f1) * F.col(f1)).cast("long")).alias("s11"),
+        F.sum((F.col(f1) * F.col(f2)).cast("long")).alias("s12"),
+        F.sum((F.col(f2) * F.col(f2)).cast("long")).alias("s22"),
+        F.sum((F.col(f1) * F.col(label)).cast("long")).alias("s1y"),
+        F.sum((F.col(f2) * F.col(label)).cast("long")).alias("s2y"),
+    ).collect()[0]
+    return ols2_coeffs_from_sums(
+        r["n"], r["s1"], r["s2"], r["sy"], r["s11"], r["s12"], r["s22"],
+        r["s1y"], r["s2y"],
+    )
+
+
+def ols2_predict_col(coef: dict[str, float], f1: Column, f2: Column) -> Column:
+    return (
+        F.lit(coef["intercept"]) + F.lit(coef["b1"]) * f1 + F.lit(coef["b2"]) * f2
+    )
+
+
 def blended_score(heuristic: Column, ml_score: Column) -> Column:
     """0.7 × heuristic + 0.3 × model (ml/url_prioritizer.py:175)."""
     return heuristic * 0.7 + ml_score * 0.3

@@ -80,8 +80,12 @@ def quality_score_col(
 
 
 def word_count_col(text: Column) -> Column:
-    """C14: len(content.split()) (processor.py:209)."""
-    return F.size(F.split(F.trim(text), "\\s+"))
+    """C14: len(content.split()) (processor.py:209).  Python's str.split()
+    yields [] for empty/whitespace-only strings while Spark's split yields
+    [''], so empty tokens are filtered out — empty text counts 0, not 1."""
+    return F.size(
+        F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != F.lit(""))
+    )
 
 
 def token_count_col(text: Column) -> Column:
@@ -116,7 +120,11 @@ def lang_id_col(text: Column) -> Column:
 def text_quality_cols(text: Column) -> dict[str, Column]:
     """Quality-signal ratios for training-data filtering."""
     n_chars = F.length(text).cast("double")
-    words = F.split(F.trim(text), "\\s+")
+    # filter the [''] that Spark's split yields for empty text (str.split()
+    # semantics: 0 words), so the ratios below see n_words = 0 there
+    words = F.filter(
+        F.split(F.trim(text), "\\s+"), lambda w: w != F.lit("")
+    )
     n_words = F.size(words).cast("double")
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")

@@ -92,7 +92,12 @@ def canonicalize_url(url: str) -> str | None:
     host = (parts.hostname or "").lower()
     if not host:
         return None
-    port = parts.port
+    try:
+        # .port raises ValueError for non-numeric / out-of-range ports
+        # (e.g. "http://h.com:123456/x"); such URLs are unparseable -> None
+        port = parts.port
+    except ValueError:
+        return None
     netloc = host
     if port is not None and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)

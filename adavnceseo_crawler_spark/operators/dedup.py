@@ -244,56 +244,113 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def make_simhash_udf(seed: int = 42):
-    """pandas UDF: text -> 64-bit SimHash over whitespace tokens."""
+def simhash_pure(text: str) -> int:
+    """Readable per-token reference of the signature (tests assert the
+    vectorized UDF matches this exactly).  Token hash = first 16 hex chars of
+    md5 — chosen because md5 exists in both Spark and DuckDB, so the DRIVER
+    ORACLE can recompute signatures in pure SQL (queries.q27)."""
+    from hashlib import md5 as _md5
+
+    if not text:
+        return 0
+    acc = [0] * 64
+    for tok in text.split():
+        h = int(_md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+        for k in range(64):
+            acc[k] += 1 if (h >> k) & 1 else -1
+    val = sum(1 << k for k in range(64) if acc[k] > 0)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def make_simhash_udf():
+    """pandas UDF: text -> 64-bit SimHash over whitespace tokens.
+
+    Vectorized: each Arrow batch md5-hashes its UNIQUE tokens once (the
+    vocabulary is far smaller than the token stream), unpacks their bit
+    matrix, and accumulates all documents' ±1 contributions with one
+    ``np.add.at`` over the (doc, 64) accumulator — no per-token Python in
+    the hot loop (the round-1 per-token/per-row loop was the slowest stage
+    of the simhash path at scale)."""
+    from hashlib import md5 as _md5
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.split():
-                h = _h64(tok)
-                bits = np.frombuffer(
-                    np.uint64(h).tobytes(), dtype=np.uint8
+        tok_lists = [t.split() if t else [] for t in texts]
+        vocab: dict[str, int] = {}
+        tok_ids: list[int] = []
+        doc_ids: list[int] = []
+        for i, tl in enumerate(tok_lists):
+            for tok in tl:
+                j = vocab.setdefault(tok, len(vocab))
+                tok_ids.append(j)
+                doc_ids.append(i)
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.int64)
+        if vocab:
+            hs = np.empty(len(vocab), dtype=np.uint64)
+            for tok, j in vocab.items():
+                hs[j] = np.uint64(int(_md5(tok.encode("utf-8")).hexdigest()[:16], 16))
+            # (U, 64) bit matrix, column k = bit k of the hash -> ±1
+            pm = (
+                np.unpackbits(
+                    hs.view(np.uint8).reshape(len(vocab), 8), axis=1, bitorder="little"
+                ).astype(np.int32)
+                * 2
+                - 1
+            )
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            if tok_ids:
+                np.add.at(
+                    acc,
+                    np.asarray(doc_ids, dtype=np.int64),
+                    pm[np.asarray(tok_ids, dtype=np.int64)],
                 )
-                bits = np.unpackbits(bits, bitorder="little").astype(np.int64)
-                acc += 2 * bits - 1
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            # to signed 64-bit
-            if val >= 1 << 63:
-                val -= 1 << 64
-            out.append(val)
+            bits = (acc > 0).astype(np.uint8)
+            out = (
+                np.packbits(bits, axis=1, bitorder="little")
+                .view(np.uint64)
+                .reshape(n_docs)
+                .view(np.int64)
+                .copy()
+            )
+            # all-empty docs have acc == 0 -> signature 0 (matches simhash_pure)
         return pd.Series(out, dtype="int64")
 
     return simhash
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_hamming: int = 9,
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit SimHash band (4 bands ⇒ catches all
-    pairs with Hamming distance ≤ 3 by pigeonhole)."""
+    """EXACT near-dup pairs with Hamming(simhash) ≤ max_hamming via banded LSH.
+
+    Pigeonhole: two signatures within Hamming distance (bands-1) agree on at
+    least one full band, so the band equi-join is a guaranteed superset of all
+    pairs with hamming ≤ bands-1 — the hamming filter then makes the result
+    exact (not probabilistic).  Requires max_hamming ≤ bands-1.  At 100 TB use
+    wider bands / lower max_hamming (candidates grow as bands narrow)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    assert max_hamming <= bands - 1, "pigeonhole guarantee needs max_hamming <= bands-1"
+    mask = (1 << width) - 1
     sh = df.select(
         F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh")
     )
-    bands = [
+    band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("sh"), i * 16)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("sh"), i * width)
+            .bitwiseAND(F.lit(mask))
             .alias("bits"),
         )
-        for i in range(4)
+        for i in range(bands)
     ]
     banded = sh.select(
-        "id", "sh", F.explode(F.array(*bands)).alias("bb")
+        "id", "sh", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "sh", "bb.band", "bb.bits")
     a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bits")
     b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bits")
@@ -303,6 +360,129 @@ def simhash_candidates(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    return pairs.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).select("id_a", "id_b", "hamming")
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-set MinHash + LSH with exact verification (the standard dedup pipeline)
+# ---------------------------------------------------------------------------
+def make_token_minhash_udf(
+    n_hashes: int = 64,
+    seed: int = 42,
+    min_len: int = 3,
+    stopwords: tuple[str, ...] = (),
+):
+    """pandas UDF: text -> array<long> MinHash signature over the NORMALIZED
+    UNIGRAM TOKEN SET (lowercase, split on [^a-z0-9]+, len ≥ min_len, minus
+    stopwords) — the same feature space as the exact-Jaccard verification, so
+    estimate and truth measure the same similarity.  Vectorized like the
+    simhash UDF: md5 the batch's unique tokens once, then per-doc min via
+    ``np.minimum.reduceat`` over contiguous doc segments."""
+    import re as _re
+    from hashlib import md5 as _md5
+
+    a_p, b_p = _hash_params(n_hashes, seed)
+    stop = frozenset(stopwords)
+    split_re = _re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        vocab: dict[str, int] = {}
+        doc_tok_ids: list[list[int]] = []
+        for t in texts:
+            toks = (
+                {
+                    w
+                    for w in split_re.split(t.lower())
+                    if len(w) >= min_len and w not in stop
+                }
+                if t
+                else set()
+            )
+            doc_tok_ids.append([vocab.setdefault(w, len(vocab)) for w in sorted(toks)])
+        if vocab:
+            hs = np.empty(len(vocab), dtype=np.uint64)
+            for tok, j in vocab.items():
+                hs[j] = np.uint64(int(_md5(tok.encode("utf-8")).hexdigest()[:16], 16))
+        out = []
+        empty_sig = [0] * n_hashes
+        for ids in doc_tok_ids:
+            if not ids:
+                out.append(empty_sig)
+                continue
+            with np.errstate(over="ignore"):
+                sig = (hs[ids][None, :] * a_p[:, None] + b_p[:, None]).min(axis=1)
+            out.append([int(x) for x in sig.view(np.int64)])
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    n_hashes: int = 64,
+    bands: int = 32,
+    stopwords: tuple[str, ...] = (),
+    min_len: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with EXACT token-set Jaccard ≥ threshold.
+
+    rows_per_band = n_hashes/bands = 2 ⇒ P(a J=0.9 pair misses every band) =
+    (1-0.81)^32 ≈ 1e-23 — at the chosen threshold the output equals the
+    brute-force truth (the driver oracle checks exactly that).  The exact
+    verification joins each candidate pair to the two docs' token arrays and
+    computes |A∩B| JVM-side (array_intersect) — cost linear in candidates,
+    never O(n²)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        make_token_minhash_udf(n_hashes, 42, min_len, stopwords)(
+            F.col(text_col)
+        ).alias("sig"),
+    )
+    banded = _band_buckets(sig, n_hashes, bands)
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification on the same normalized token sets
+    def keep(w):
+        cond = F.length(w) >= min_len
+        if stopwords:
+            cond = cond & ~w.isin(*stopwords)
+        return cond
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), keep)
+        ).alias("toks"),
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    j = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            * 1.0
+            / (F.size("toks_a") + F.size("toks_b") - F.col("shared")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -54,6 +54,101 @@ def search_pages(parsed: DataFrame, query: str, size: int = 10) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 over an inverted-index table (the real ES scoring shape, SURVEY §2.8:
+# elasticsearch_storage.py:89-111 runs Lucene BM25 — this is the native
+# re-expression; the weighted-TF search above remains the cheap approximation)
+# ---------------------------------------------------------------------------
+def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) postings — explode(tokens) → hash-agg counts.  At scale
+    this is persisted bucketed by term so scorers join co-partitioned."""
+    toks = df.select(
+        F.col(id_col), F.explode(doc_tokens(df, id_col, text_col)).alias("term")
+    )
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k: idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) summed over
+    query terms, idf = ln(1 + (N-df+0.5)/(df+0.5)) (Lucene's formulation).
+
+    Dataflow: postings filtered to the query terms (tiny), joined to per-doc
+    lengths; N/avgdl/df are scalar/broadcast aggregates — nothing shuffles
+    except the postings build."""
+    idx = inverted_index(df, id_col, text_col).filter(F.col("term").isin(*terms))
+    dl = df.select(
+        F.col(id_col), F.size(doc_tokens(df, id_col, text_col)).cast("double").alias("dl")
+    )
+    # exact integer sufficient statistics -> bit-identical avgdl on any
+    # partitioning (and vs the sequential DuckDB oracle)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("dl").cast("long")).alias("_sdl"),
+    ).select(
+        F.col("_n").cast("double").alias("n_docs"),
+        (F.col("_sdl") / F.col("_n")).alias("avgdl"),
+    )
+    dfreq = idx.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    scored = (
+        idx.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # sum the (≤ one-per-term) rows in FIXED term order via conditional
+    # aggregation — a bare sum() would add doubles in nondeterministic row
+    # order, breaking bit-parity with the sequential oracle
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("term_score"))).alias(f"_s{i}")
+        for i, t in enumerate(sorted(terms))
+    ]
+    total = None
+    for i in range(len(terms)):
+        part = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = part if total is None else total + part
+    return (
+        scored.groupBy(id_col)
+        .agg(*per_term)
+        .select(id_col, F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def search_with_domain_filter(
     parsed: DataFrame, query: str, size: int = 10
 ) -> DataFrame:

@@ -68,18 +68,156 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def make_lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """Gaussian-hyperplane sign bucket (vectorized: one stacked matmul per
+    Arrow batch + packbits — no per-row Python)."""
     planes = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(T.LongType())
     def lsh_bucket(vs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vs), dtype=np.int64)
-        for i, v in enumerate(vs):
-            arr = np.asarray(v, dtype=np.float64)
-            signs = (planes @ arr) > 0
-            out[i] = int(sum(1 << j for j, s in enumerate(signs) if s))
-        return pd.Series(out)
+        if len(vs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # (n, dim)
+        signs = (mat @ planes.T) > 0  # (n, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
 
     return lsh_bucket
+
+
+# -- deterministic ±1 (Rademacher) hyperplanes -------------------------------
+# Sign-random-projection with ±1 plane entries is an equally valid cosine-LSH
+# family, and — unlike float Gaussian planes — both the plane values and the
+# sign computation are exactly expressible in ANSI SQL, so the driver oracle
+# can recompute the ENTIRE bucketing + candidate join + rerank in DuckDB and
+# check the engine's implementation end-to-end (recall vs brute force is
+# measured separately in tests/test_similarity_ops.py).
+def rademacher_planes(n_tables: int, n_bits: int, dim: int) -> list[list[list[int]]]:
+    """planes[l][k][d] ∈ {-1, +1}, a pure function of (l, k, d) via md5."""
+    from hashlib import md5 as _md5
+
+    out = []
+    for l in range(n_tables):
+        table = []
+        for k in range(n_bits):
+            # expand to dim bits deterministically: md5(l,k,chunk) per 128 bits
+            bits: list[int] = []
+            chunk = 0
+            while len(bits) < dim:
+                hh = _md5(f"lshplane-{l}-{k}-{chunk}".encode()).digest()
+                for byte in hh:
+                    for b in range(8):
+                        bits.append(1 if (byte >> b) & 1 else -1)
+                chunk += 1
+            table.append(bits[:dim])
+        out.append(table)
+    return out
+
+
+def planes_sql_literal(planes: list[list[list[int]]]) -> list[str]:
+    """Per-table SQL list-of-lists literals (for the DuckDB oracle); emitted
+    as DOUBLE literals so list_dot_product sees the same types as the engine."""
+    return [
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{float(v):.1f}" for v in k) + "]" for k in table
+        )
+        + "]"
+        for table in planes
+    ]
+
+
+def make_multi_bucket_udf(planes: list[list[list[int]]]):
+    """pandas UDF: vector -> array of per-table packed sign buckets.
+
+    One Arrow batch = one numpy pass.  Each dot product is accumulated with
+    ``np.cumsum`` along the dim axis — SEQUENTIAL left-to-right IEEE
+    rounding, bit-identical to the oracle's list_dot_product fold (a matmul
+    would sum pairwise and could flip a sign on a knife-edge dot)."""
+    mats = np.asarray(planes, dtype=np.float64)  # (L, nbits, dim)
+    n_tables, n_bits, _dim = mats.shape
+    flat = mats.reshape(n_tables * n_bits, _dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((n, n_tables), dtype=np.int64)
+        chunk = 1024  # bound the (chunk, L*nbits, dim) intermediate
+        for s in range(0, n, chunk):
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs.iloc[s : s + chunk]]
+            )
+            prods = m[:, None, :] * flat[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            signs = (dots > 0).reshape(m.shape[0], n_tables, n_bits)
+            out[s : s + m.shape[0]] = signs @ weights
+        return pd.Series(out.tolist())
+
+    return buckets
+
+
+def with_lsh_buckets(
+    df: DataFrame, planes: list[list[list[int]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Explode df to one row per (row, table) with that table's bucket —
+    the multi-table candidate index.  At 100 TB this is precomputed and the
+    table is WRITTEN bucketed/partitioned on (tbl, bucket) so the candidate
+    join below is co-partitioned (no shuffle of the big side)."""
+    udf = make_multi_bucket_udf(planes)
+    return (
+        df.withColumn("_bks", udf(F.col(vec_col)))
+        .select("*", F.posexplode("_bks").alias("tbl", "bucket"))
+        .drop("_bks")
+    )
+
+
+def lsh_ann_join(
+    index: DataFrame,
+    queries: DataFrame,
+    planes: list[list[list[int]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch ANN: bucketed docs-vs-queries equi-join top-k per query.
+
+    Both sides go through the same multi-table sign-bucketing; candidates are
+    same-(tbl, bucket) pairs (equi-join, never a cross product), dedup'd
+    across tables, exactly reranked by cosine, top-k per query by window.
+    With ``broadcast_queries`` (the search-serving shape) the index side never
+    shuffles; for doc-vs-doc scale both sides are pre-bucketed on
+    (tbl, bucket) so the join is co-partitioned and a hot bucket splits under
+    AQE skew join.  Returns (query_id, vec_id, cos, rank)."""
+    bi = with_lsh_buckets(index, planes, vec_col).select(
+        "tbl", "bucket", F.col(id_col), F.col(vec_col)
+    )
+    bq = with_lsh_buckets(queries, planes, query_vec_col).select(
+        "tbl", "bucket", F.col(query_id_col), F.col(query_vec_col)
+    )
+    if broadcast_queries:
+        bq = F.broadcast(bq)
+    cand = (
+        bi.join(bq, ["tbl", "bucket"])
+        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_topk(
@@ -87,19 +225,23 @@ def lsh_topk(
     query: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 12,
+    n_tables: int = 4,
+    n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: score only vectors in the query's hyperplane-sign bucket.
-
-    At 100 TB the bucket column is precomputed/persisted and the scan is
-    partition-pruned on it; here it is computed inline."""
-    udf = make_lsh_bucket_udf(dim, n_planes)
-    bucketed = df.withColumn("_bucket", udf(F.col(vec_col)))
-    qb = query.withColumn("_bucket", udf(F.col("q")))
-    cand = bucketed.join(F.broadcast(qb), "_bucket")
-    scored = cand.select(
-        id_col, F.round(cosine_col(F.col(vec_col), F.col("q")), 6).alias("cos")
+    """Single-query ANN over the multi-table sign-LSH index: score only
+    vectors sharing a (tbl, bucket) with the query in ANY table (multi-table
+    union trades candidates for recall; n_bits trades bucket selectivity)."""
+    planes = rademacher_planes(n_tables, n_bits, dim)
+    res = lsh_ann_join(
+        df,
+        query.withColumn("query_id", F.lit(0)),
+        planes,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col="query_id",
+        query_vec_col="q",
     )
-    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    return res.select(id_col, "cos").orderBy(F.desc("cos"), F.asc(id_col)).limit(k)

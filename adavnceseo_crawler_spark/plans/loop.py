@@ -54,9 +54,11 @@ def bootstrap(
     cat: SnapshotCatalog,
     cfg: CrawlConfig,
     seeds: DataFrame,
-    web: DataFrame,
+    web: DataFrame | None,
     robots: DataFrame,
 ) -> None:
+    if web is None:  # http fetch mode needs no synthetic web
+        web = spark.createDataFrame([], schemas.PAGES)
     cat.commit("web", web, mode="overwrite")
     cat.commit("robots", robots, mode="overwrite")
     frontier0 = seed_frontier(seeds)
@@ -118,9 +120,17 @@ def rollback_to_checkpoint(spark: SparkSession, cat: SnapshotCatalog) -> None:
     snap = cat.latest("checkpoint")
     if snap is None:
         return
-    for table, sid in snap.meta.get("snapshots", {}).items():
+    snapshots = snap.meta.get("snapshots", {})
+    for table, sid in snapshots.items():
         if cat.latest(table) is not None:
             cat.rollback(table, int(sid))
+    # tables with NO snapshot at this checkpoint (e.g. pages/parsed/
+    # round_metrics before their first round) must be emptied entirely:
+    # a crash after their round-(r+1) append would otherwise leave data
+    # that the replay appends again (duplicate rows)
+    for table in TABLES:
+        if table not in snapshots and cat.latest(table) is not None:
+            cat.rollback(table, -1)
 
 
 def run_crawl(

@@ -83,16 +83,14 @@ def run_round(
     meta = cat.read("url_metadata") or _empty(spark, schemas.URL_METADATA)
     dstats = cat.read("domain_stats") or _empty(spark, schemas.DOMAIN_STATS)
     robots = cat.read("robots") or _empty(spark, schemas.ROBOTS)
-    web = cat.read("web")
+    web = cat.read("web") if cfg.fetch_mode == "synthetic" else None
 
     # ---- enrich + score (J3, J4, U9) ----------------------------------------
-    # url_metadata is append-only (latest-wins): take max(last_crawled) per
-    # url — on Iceberg this is a MERGE target instead (J7)
-    meta_latest = meta.groupBy("url_hash").agg(
-        F.max("last_crawled").alias("last_crawled")
-    )
+    # url_metadata is maintained LATEST-PER-KEY (compacted at commit below),
+    # so the enrich join reads it as-is — per-round cost is O(|distinct
+    # urls|), constant in round number, never a growing-history rescan
     cand = (
-        frontier.join(meta_latest, "url_hash", "left")
+        frontier.join(meta.select("url_hash", "last_crawled"), "url_hash", "left")
         .join(
             F.broadcast(
                 dstats.select(
@@ -142,9 +140,23 @@ def run_round(
     leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
 
     # ---- fetch (S5/J6) ---------------------------------------------------------
-    # hits = web ⋈ broadcast(scheduled): html never shuffles, parse inherits
-    # the web scan's partitioning (fetch.py docstring)
-    ok, failed = fetch_batch(scheduled, web)
+    # synthetic: hits = web ⋈ broadcast(scheduled): html never shuffles, parse
+    # inherits the web scan's partitioning (fetch.py docstring).
+    # http: batched real HTTP per host-partition (operators/httpfetch.py) —
+    # payloads are born in the fetch task and flow straight into parse.
+    if cfg.fetch_mode == "http":
+        from ..operators.httpfetch import fetch_batch_http
+
+        ok, failed = fetch_batch_http(
+            scheduled,
+            cfg.user_agent,
+            base_url_rewrite=cfg.http_base_rewrite,
+            timeout=cfg.request_timeout,
+            max_retries=cfg.http_inflight_retries,
+            retry_delay=cfg.http_retry_delay,
+        )
+    else:
+        ok, failed = fetch_batch(scheduled, web)
 
     # ---- parse (U1) + quality (A8) ----------------------------------------------
     # passthrough columns ride along through mapInPandas so pages/log/links
@@ -321,7 +333,11 @@ def run_round(
     tick("metrics")
 
     # ---- commits (snapshot per table, then the round checkpoint) --------------------
-    # url_metadata MERGE (J7): upsert rows for every fetched/failed url
+    # url_metadata MERGE (J7): upsert rows for every fetched/failed url,
+    # committed as the COMPACTED latest-per-key table (anti-join ∪ updates —
+    # on Iceberg this is a native row-level MERGE whose write cost is
+    # O(delta); the round-1 append-only + per-round groupBy(max) rescan grew
+    # with total history and is gone)
     upd = (
         new_log.filter(F.col("error").isNull() | (F.col("error") != "robots_disallowed"))
         .select(
@@ -343,13 +359,18 @@ def run_round(
     # concurrent Spark jobs (separate threads; the scheduler interleaves
     # stages) so the round pays one commit latency, not eight — the
     # checkpoint manifest is still written strictly after ALL commits land
+    from ..catalog import merge_upsert
+
+    meta_compacted = merge_upsert(
+        meta if cat.exists("url_metadata") else None, upd, "url_hash"
+    )
     commits: list[tuple] = [
         ("crawl_log", new_log, "append"),
         ("pages", pages_out, "append"),
         ("url_seen",
          survivors.select("url_hash", "url", F.lit(round_no + 1).alias("round")),
          "append"),
-        ("url_metadata", upd, "append"),
+        ("url_metadata", meta_compacted, "overwrite"),
         ("domain_stats",
          dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
          "overwrite"),

@@ -778,66 +778,240 @@ def q24(spark, sf):
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
     """,
 )
 def q25(spark, sf):
-    """Embedding-cosine near-dup pairs (threshold 0.8, ids < 150)."""
+    """Embedding-cosine near-dup pairs (ids < 150).  Threshold 0.35: the
+    driver's embeddings are near-orthogonal random vectors (max pairwise cos
+    ≈ 0.44 at sf0.01), so the round-1 0.8 threshold made this row vacuously
+    green on 0 rows; 0.35 keeps ~26 real pairs under oracle check."""
     from .operators.similarity import cosine_pairs
 
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
-    return cosine_pairs(e, id_col="vec_id", threshold=0.8)
+    return cosine_pairs(e, id_col="vec_id", threshold=0.35)
 
 
-# =============================================================================
-# Rows-only entries (no ANSI-SQL equivalent; driver records a weaker check)
-# =============================================================================
-@q("q26_minhash_lsh_neardup")
+@q(
+    "q26_minhash_lsh_neardup",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+      WHERE length(word) >= 3 AND word NOT IN {STOPWORDS_SQL}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM g a JOIN g b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id
+               JOIN sizes sb ON pairs.id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.9
+    """,
+)
 def q26(spark, sf):
-    """MinHash+LSH near-dup candidate pairs with signature-estimated Jaccard
-    (shingle→minhash→band→bucket-join; training-data dedup at scale)."""
-    from .operators.dedup import minhash_dedup_pairs
+    """MinHash+LSH near-dup pairs at Jaccard ≥ 0.9, EXACT-verified: token-set
+    minhash → 32 bands of 2 rows → bucket-join candidates → exact Jaccard on
+    the candidates only (array_intersect).  The oracle is the brute-force
+    truth over the full corpus; they must be equal because the band recall at
+    J=0.9 is 1-(1-0.81)^32 ≈ 1-1e-23 and verification removes all false
+    positives — the standard dedup pipeline, never O(n²)."""
+    from .operators.dedup import minhash_verified_pairs
 
     d = _t(spark, sf, "documents")
-    return minhash_dedup_pairs(d, threshold=0.5)
+    return minhash_verified_pairs(
+        d, threshold=0.9, n_hashes=64, bands=32, stopwords=STOPWORDS, min_len=3
+    )
 
 
-@q("q27_simhash_candidates")
+# q27 oracle recomputes the engine's SimHash signatures in PURE SQL: the token
+# hash is the first 16 hex chars of md5(token) (md5 exists in both engines),
+# bit k = (hexdigit(16 - k//4) >> (k%4)) & 1, signature bit = sign of the
+# ±1 contribution sum — then brute-forces all pairs with Hamming ≤ 9.
+_Q27_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 100),
+    contribs AS (
+      SELECT doc_id, k,
+             CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), 16 - k // 4, 1)) - 1)
+                        >> (k % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM toks, unnest(range(0, 64)) t(k)),
+    sig AS (
+      SELECT doc_id, k, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+      FROM contribs GROUP BY doc_id, k),
+    ham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.k = b.k AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 9
+"""
+
+
+@q("q27_simhash_candidates", _Q27_SQL)
 def q27(spark, sf):
-    """SimHash banded near-dup candidates with Hamming distance."""
+    """SimHash near-dup pairs, EXACT: 16 bands of 4 bits guarantee (pigeonhole)
+    that every pair with Hamming ≤ 15 shares a band, so the banded join +
+    Hamming ≤ 9 filter returns precisely the brute-force answer.  The oracle
+    recomputes the md5-based signatures in SQL and brute-forces the ≤ 9 set
+    on the doc_id < 100 slice.  Signatures come from the vectorized UDF
+    (batch-unique-token md5 + one np.add.at — the round-1 per-token Python
+    loop is gone)."""
     from .operators.dedup import simhash_candidates
 
-    d = _t(spark, sf, "documents")
-    return simhash_candidates(d)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return simhash_candidates(d, bands=16, max_hamming=9)
 
 
-@q("q28_fingerprint")
+@q(
+    "q28_fingerprint",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+           min(doc_id) OVER (PARTITION BY text)              AS canonical_id
+    FROM aug
+    """,
+)
 def q28(spark, sf):
-    """Rolling-hash document fingerprint (pandas UDF; C-layer scalar op)."""
+    """Rolling-hash document fingerprint (pandas UDF; C-layer scalar op).
+
+    Oracle contract: dup-groups BY FINGERPRINT must equal dup-groups BY TEXT —
+    i.e. the 61-bit rolling hash is collision-free AND total on this corpus
+    (the oracle groups by the text itself, which SQL can do and the engine's
+    dedup deliberately does not, because at 100 TB the grouping key must be a
+    fixed-width hash, never the payload).  50 planted duplicates (doc_id+10000
+    copies) make the check non-vacuous: their groups must shrink to one
+    canonical_id with dup_count 2."""
     from .functions.textstats import fingerprint_udf
 
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", fingerprint_udf(F.col("text")).alias("fp"))
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    fp = aug.select("doc_id", fingerprint_udf(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
 
 
-@q("q29_lsh_ann_topk")
+# The LSH-ANN oracles recompute the ENGINE'S OWN algorithm in SQL — the
+# ±1 (Rademacher) hyperplanes are deterministic md5-derived literals shared
+# by both sides, and every dot product is the same left-to-right double fold
+# (list_dot_product ≡ F.aggregate(zip_with)), so bucketing, candidate join
+# and rerank are checked end-to-end.  Recall vs brute force is a separate,
+# measured property (tests/test_similarity_ops.py), not an oracle identity.
+def _bucket_sql(vec: str, n_bits: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {n_bits}), k -> "
+        f"CASE WHEN list_dot_product({vec}, p[k + 1]) > 0 "
+        f"THEN (1 << k) ELSE 0 END))"
+    )
+
+
+def _planes_values_sql(planes) -> str:
+    from .operators.similarity import planes_sql_literal
+
+    lits = planes_sql_literal(planes)
+    return ", ".join(f"({l}, {lit})" for l, lit in enumerate(lits))
+
+
+def _make_q29_sql() -> str:
+    from .operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(n_tables=8, n_bits=6, dim=64)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    pl(tbl, p) AS (VALUES {_planes_values_sql(planes)}),
+    eb AS (SELECT vec_id, tbl, {_bucket_sql('v', 6)} AS bucket FROM e, pl),
+    qb AS (SELECT tbl, {_bucket_sql('q', 6)} AS bucket FROM qv, pl),
+    cand AS (
+      SELECT DISTINCT eb.vec_id
+      FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket)
+    SELECT e.vec_id,
+           round(list_dot_product(v, q)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6) AS cos
+    FROM e JOIN cand ON e.vec_id = cand.vec_id, qv
+    ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+    """
+
+
+@q("q29_lsh_ann_topk", _make_q29_sql())
 def q29(spark, sf):
-    """LSH-bucketed approximate nearest neighbours (the ANN scale path)."""
+    """LSH-bucketed approximate nearest neighbours (the ANN scale path):
+    8 tables × 6 sign bits, candidates = union of same-bucket vectors across
+    tables, exact cosine rerank, top-10."""
     from .operators.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return lsh_topk(e.filter(F.col("vec_id") != 0), qv, dim=64, k=10, n_planes=8)
+    return lsh_topk(
+        e.filter(F.col("vec_id") != 0), qv, dim=64, k=10, n_tables=8, n_bits=6
+    )
 
 
-@q("q30_multimodal_features")
+@q(
+    "q30_multimodal_features",
+    """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             CAST(64 + i % 128 AS BIGINT) AS n_bytes
+      FROM range(0, 200) t(i)),
+    bytes AS (
+      SELECT media_id, CAST(((media_id * 37 + j * 11) % 256) // 16 AS INT) AS bucket
+      FROM m, unnest(range(0, n_bytes)) u(j)),
+    h AS (SELECT media_id, bucket, count(*) AS cnt FROM bytes GROUP BY 1, 2),
+    grid AS (
+      SELECT m.media_id, m.modality, m.n_bytes, CAST(kk AS INT) AS bucket
+      FROM m, unnest(range(0, 16)) t2(kk)),
+    f AS (
+      SELECT grid.media_id, grid.modality, grid.n_bytes, grid.bucket,
+             coalesce(h.cnt, 0) AS cnt
+      FROM grid LEFT JOIN h
+        ON grid.media_id = h.media_id AND grid.bucket = h.bucket)
+    SELECT media_id, modality, n_bytes,
+           array_to_string(list(CAST(cnt AS INT) ORDER BY bucket), ',') AS hist16
+    FROM f GROUP BY media_id, modality, n_bytes
+    """,
+)
 def q30(spark, sf):
     """Binary-payload feature extraction plumbing (decode stubbed; schema,
-    Arrow batching and modality partitioning are real)."""
+    Arrow batching and modality partitioning are real).
+
+    Output is driver-canonicalizable scalars (round 1 returned the raw
+    array<float> column, which crashed the driver's canonicalizer): the
+    byte-histogram stub feature is reported as its exact integer counts
+    (feature[k]·n_bytes rounds back to the count because the stub normalizes
+    by total), joined into one string.  The oracle recomputes the histogram
+    from the synth_media byte formula ((i·37 + j·11) % 256) in pure SQL."""
     from .operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=200)
-    return extract_features(media)
+    feats = extract_features(media)
+    hist16 = F.array_join(
+        F.transform(
+            "feature",
+            lambda x: F.round(x * F.col("n_bytes")).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select("media_id", "modality", "n_bytes", hist16.alias("hist16"))
 
 
 @q("q31_crawl_round")
@@ -1145,20 +1319,88 @@ def q41(spark, sf):
     )
 
 
-@q("q42_ml_blended_rank")
+@q(
+    "q42_ml_blended_rank",
+    f"""
+    WITH u AS (
+      SELECT p_partkey,
+             CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                  ELSE 'https://' || raw_url END AS url
+      FROM ({_URL_SYNTH_SQL})),
+    f AS (
+      SELECT u.p_partkey, u.url,
+             CAST(length(u.url) AS BIGINT)      AS url_len,
+             CAST(u.p_partkey % 7 AS BIGINT)    AS host_num,
+             CAST(round(p.p_retailprice * 100, 0) AS BIGINT) AS y
+      FROM u JOIN part p ON u.p_partkey = p.p_partkey),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(url_len) AS s1, sum(host_num) AS s2, sum(y) AS sy,
+             sum(url_len * url_len)  AS s11, sum(url_len * host_num) AS s12,
+             sum(host_num * host_num) AS s22, sum(url_len * y) AS s1y,
+             sum(host_num * y) AS s2y
+      FROM f),
+    -- mirror mlhooks.ols2_coeffs_from_sums op-for-op: the sums are exact
+    -- integers, so every double below is bit-identical to the engine's
+    c AS (
+      SELECT n, s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+             s11 / n - (s1 / n) * (s1 / n) AS c11,
+             s12 / n - (s1 / n) * (s2 / n) AS c12,
+             s22 / n - (s2 / n) * (s2 / n) AS c22,
+             s1y / n - (s1 / n) * (sy / n) AS c1y,
+             s2y / n - (s2 / n) * (sy / n) AS c2y
+      FROM s),
+    b AS (
+      SELECT m1, m2, my,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM c)
+    SELECT p_partkey, url,
+           round((my - b1 * m1 - b2 * m2) + b1 * url_len + b2 * host_num, 6)
+             AS pred_cents,
+           round(1.0 * 0.7
+                 + (((my - b1 * m1 - b2 * m2) + b1 * url_len + b2 * host_num)
+                    / 100.0 / 2000.0) * 0.3, 6) AS blended
+    FROM f, b
+    """,
+)
 def q42(spark, sf):
-    """U10: features → stub batch predictor (predict_batch_udf plug) →
-    0.7/0.3 blend (ml/url_prioritizer.py:175); rows-only (model not
-    SQL-expressible)."""
-    from .functions.mlhooks import ml_rank_urls
+    """U10 with a REAL training path: closed-form OLS fit on exact integer
+    sufficient statistics (one distributed aggregate — the 100 TB-safe
+    equivalent of ml/url_prioritizer.py:195-311's offline fit), coefficients
+    loaded back as literals, predictions blended 0.7/0.3 with the heuristic
+    (url_prioritizer.py:175).  The oracle TRAINS THE SAME MODEL in SQL: since
+    the sufficient statistics are exact integers and the coefficient formula
+    is mirrored op-for-op, predictions are bit-identical."""
+    from .functions.mlhooks import fit_ols2, ols2_predict_col
     from .functions.urls import normalize_scheme
 
     u = _url_synth_spark(spark, sf).select(
         "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
-    ).withColumn("score", F.lit(1.0))
-    return ml_rank_urls(u).select(
-        "p_partkey", "url", F.round("ml_score", 6).alias("ml_score"),
-        F.round("blended", 6).alias("blended"),
+    )
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
+    )
+    feats = u.join(p, "p_partkey").select(
+        "p_partkey",
+        "url",
+        F.length("url").cast("long").alias("url_len"),
+        (F.col("p_partkey") % 7).cast("long").alias("host_num"),
+        "y",
+    )
+    coef = fit_ols2(feats, "url_len", "host_num", "y")
+    pred = ols2_predict_col(coef, F.col("url_len"), F.col("host_num"))
+    # normalize the cents prediction into (0, ~1) before blending so both
+    # operands of the 0.7/0.3 blend live on the same scale
+    ml_score = pred / 100.0 / 2000.0
+    from .functions.mlhooks import blended_score
+
+    return feats.select(
+        "p_partkey",
+        "url",
+        F.round(pred, 6).alias("pred_cents"),
+        F.round(blended_score(F.lit(1.0), ml_score), 6).alias("blended"),
     )
 
 
@@ -1200,22 +1442,25 @@ def q43(spark, sf):
     "q44_entity_stub",
     """
     SELECT doc_id, entity, CAST(count(*) AS BIGINT) AS mentions FROM (
-      SELECT doc_id, unnest(regexp_extract_all(text, '[A-Z][a-z]{2,}')) AS entity
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS entity
       FROM documents)
+    WHERE entity IN ('spark', 'customer', 'vector', 'window')
     GROUP BY doc_id, entity
     """,
 )
 def q44(spark, sf):
-    """U7 shape: capitalized-token entity mention extraction (deterministic
+    """U7 shape: dictionary-gazetteer entity mention extraction (deterministic
     stand-in for the spaCy/BERT NER of processor.py:289-366; the model slots
-    in via mlhooks.make_predict_udf on a real cluster)."""
+    in via mlhooks.make_predict_udf on a real cluster).  Round 1 used a
+    capitalized-token rule that matched NOTHING in the all-lowercase driver
+    corpus (vacuous 0-row green); the gazetteer checks real, non-empty
+    mention counts."""
     d = _t(spark, sf, "documents")
+    gaz = ("spark", "customer", "vector", "window")
     ents = d.select(
         "doc_id",
-        F.explode(
-            F.regexp_extract_all("text", F.lit("[A-Z][a-z]{2,}"), F.lit(0))
-        ).alias("entity"),
-    )
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("entity"),
+    ).filter(F.col("entity").isin(*gaz))
     return ents.groupBy("doc_id", "entity").agg(F.count(F.lit(1)).alias("mentions"))
 
 
@@ -1248,4 +1493,180 @@ def q45(spark, sf):
         F.round(
             keyword_relevance(F.col("url"), {"part": 1.5, "site3": 0.7}), 6
         ).alias("relevance"),
+    )
+
+
+# =============================================================================
+# Round-2 additions: BM25 search, batch ANN join, trained content classifier
+# =============================================================================
+_BM25_TERMS = ("query", "spark", "table")  # kept sorted (fixed-order term sum)
+
+
+@q(
+    "q46_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS term
+      FROM documents),
+    idx AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('query', 'spark', 'table') GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+      FROM dl),
+    dfreq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM idx GROUP BY term),
+    scored AS (
+      SELECT idx.doc_id, idx.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS term_score
+      FROM idx JOIN dfreq ON idx.term = dfreq.term
+               JOIN dl ON idx.doc_id = dl.doc_id, stats),
+    agg AS (
+      SELECT doc_id,
+             sum(CASE WHEN term = 'query' THEN term_score END) AS s0,
+             sum(CASE WHEN term = 'spark' THEN term_score END) AS s1,
+             sum(CASE WHEN term = 'table' THEN term_score END) AS s2
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id,
+           round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS bm25
+    FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q46(spark, sf):
+    """T1 real-scoring option: BM25 over an inverted-index table
+    (elasticsearch_storage.py:89-111 runs Lucene BM25; SURVEY §2.8 names this
+    as the full-fidelity path — the weighted-TF q18 remains the cheap
+    approximation).  k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)); the
+    oracle recomputes the identical pipeline in SQL (exact-integer avgdl and
+    fixed term-order summation keep doubles bit-identical)."""
+    from .operators.search import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, terms=list(_BM25_TERMS), k=20)
+
+
+def _make_q47_sql() -> str:
+    from .operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(n_tables=8, n_bits=6, dim=64)
+    return f"""
+    WITH idx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id >= 400),
+    pl(tbl, p) AS (VALUES {_planes_values_sql(planes)}),
+    ib AS (SELECT vec_id, tbl, {_bucket_sql('v', 6)} AS bucket FROM idx, pl),
+    qb AS (SELECT query_id, tbl, {_bucket_sql('q', 6)} AS bucket FROM qs, pl),
+    cand AS (
+      SELECT DISTINCT qb.query_id, ib.vec_id
+      FROM ib JOIN qb ON ib.tbl = qb.tbl AND ib.bucket = qb.bucket),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_dot_product(v, q)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6) AS cos
+      FROM cand c JOIN idx ON idx.vec_id = c.vec_id
+                  JOIN qs  ON qs.query_id = c.query_id),
+    r AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 3
+    """
+
+
+@q("q47_batch_ann_join", _make_q47_sql())
+def q47(spark, sf):
+    """Batch-query ANN: every query vector (vec_id ≥ 400) against the index
+    (vec_id < 400) through the SAME multi-table sign-LSH bucketing on both
+    sides — candidates are a (tbl, bucket) equi-join (queries broadcast, the
+    index never shuffles), exact cosine rerank, top-3 per query.  The oracle
+    replays the identical algorithm in SQL; recall vs brute force is measured
+    in tests/test_similarity_ops.py."""
+    from .operators.similarity import lsh_ann_join, rademacher_planes
+
+    e = _t(spark, sf, "embeddings")
+    planes = rademacher_planes(n_tables=8, n_bits=6, dim=64)
+    index = e.filter(F.col("vec_id") < 400)
+    queries = e.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return lsh_ann_join(index, queries, planes, k=3)
+
+
+@q(
+    "q48_centroid_classifier",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)
+               AS n_tokens,
+             CASE WHEN len(regexp_extract_all(text, '(?i)article|post|story|news')) = 0
+                   AND len(regexp_extract_all(text, '(?i)product|price|\\$|€|£')) = 0
+                  THEN 'other'
+                  WHEN len(regexp_extract_all(text, '(?i)article|post|story|news'))
+                       >= len(regexp_extract_all(text, '(?i)product|price|\\$|€|£'))
+                  THEN 'article' ELSE 'product' END AS label
+      FROM documents),
+    cent AS (
+      SELECT label,
+             sum(n_chars)  / CAST(count(*) AS BIGINT) AS mu1,
+             sum(n_tokens) / CAST(count(*) AS BIGINT) AS mu2
+      FROM feats GROUP BY label),
+    dist AS (
+      SELECT f.doc_id, c.label,
+             (f.n_chars - c.mu1) * (f.n_chars - c.mu1)
+           + (f.n_tokens - c.mu2) * (f.n_tokens - c.mu2) AS d2
+      FROM feats f, cent c),
+    r AS (
+      SELECT doc_id, label, d2,
+             row_number() OVER (PARTITION BY doc_id ORDER BY d2 ASC, label ASC) AS rn
+      FROM dist)
+    SELECT doc_id, label AS predicted FROM r WHERE rn = 1
+    """,
+)
+def q48(spark, sf):
+    """U11 with a REAL training path: nearest-centroid content classifier.
+    Labels come from the deterministic pattern rule (the reference's
+    weak-supervision analog of ml/content_classifier.py:167-212); per-class
+    centroids over (n_chars, n_tokens) are fit as ONE distributed aggregate
+    on exact integer sums, then every doc is assigned the closest centroid
+    (tie → label asc).  The oracle trains the same centroids in SQL —
+    integer sufficient statistics make the doubles bit-identical."""
+    from .functions.textstats import token_count_col
+
+    d = _t(spark, sf, "documents")
+    art = F.regexp_count("text", F.lit("(?i)article|post|story|news"))
+    prod = F.regexp_count("text", F.lit(r"(?i)product|price|\$|€|£"))
+    feats = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        F.when((art == 0) & (prod == 0), "other")
+        .when(art >= prod, "article")
+        .otherwise("product")
+        .alias("label"),
+    )
+    cent = feats.groupBy("label").agg(
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("mu1"),
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("mu2"),
+    )
+    dist = feats.crossJoin(F.broadcast(cent.select(F.col("label").alias("clabel"), "mu1", "mu2")))
+    d2 = (F.col("n_chars") - F.col("mu1")) * (F.col("n_chars") - F.col("mu1")) + (
+        F.col("n_tokens") - F.col("mu2")
+    ) * (F.col("n_tokens") - F.col("mu2"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("d2"), F.asc("clabel"))
+    return (
+        dist.withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("clabel").alias("predicted"))
     )

@@ -41,7 +41,12 @@ HEADLINE = [
     "q22_dedup_exact",
     "q24_cosine_topk",
     "q26_minhash_lsh_neardup",
+    "q27_simhash_candidates",
     "q29_lsh_ann_topk",
+    "q42_ml_blended_rank",
+    "q46_bm25_search",
+    "q47_batch_ann_join",
+    "q48_centroid_classifier",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

@@ -97,6 +97,51 @@ class TestHtmlParse:
         assert page["title"] == "H One"
         assert page["description"] == "First para."
 
+    def test_pre_exclusion_channel(self):
+        """Reference parse ORDER (html_parser.py:41-58): title/description/
+        keywords come from the tree BEFORE the script/style/header/footer/nav
+        decompose; text/links/headers come after."""
+        html = (
+            "<html><body>"
+            "<header><h1>Hero Headline</h1></header>"
+            "<nav><p>Nav blurb here.</p><a href='/in-nav'>n</a></nav>"
+            "<div>Visible body text.</div>"
+            "</body></html>"
+        )
+        page = parse_page("https://x.com/", html)
+        # h1 inside <header> feeds the title fallback and keywords
+        assert page["title"] == "Hero Headline"
+        assert {"hero", "headline"} <= set(page["keywords"])
+        # first <p> inside <nav> feeds the description fallback
+        assert page["description"] == "Nav blurb here."
+        # ...but none of them reach text / links / headers (post-decompose)
+        assert page["text"] == "Visible body text."
+        assert page["links"] == []
+        assert page["headers"]["h1"] == []
+
+    def test_empty_title_tag_blocks_fallback(self):
+        # reference: soup.find('title') truthy -> returns "" with no h1 fallback
+        page = parse_page(
+            "https://x.com/",
+            "<html><head><title></title></head><body><h1>H</h1></body></html>",
+        )
+        assert page["title"] == ""
+
+    def test_empty_meta_description_blocks_fallback(self):
+        page = parse_page(
+            "https://x.com/",
+            '<html><head><meta name="description" content=""></head>'
+            "<body><p>Para.</p></body></html>",
+        )
+        assert page["description"] == ""
+
+    def test_invalid_port_returns_none(self):
+        # ADVICE: parts.port raises ValueError for out-of-range/non-numeric
+        # ports; must map to the None-for-unparseable contract, not crash
+        assert canonicalize_url("http://h.com:123456/x") is None
+        assert canonicalize_url("http://h.com:abc/x") is None
+        assert resolve_and_canonicalize("https://a.com/", "//h.com:999999/y") is None
+
 
 class TestSynth:
     def test_urls_unique(self):

@@ -76,3 +76,24 @@ def test_resume_discards_partial_round(spark, tmp_path):
     assert rows == 0
     stats = loop.run_crawl(spark, cat, CFG, max_rounds=4)
     assert [s["round"] for s in stats] == [2, 3]
+
+
+def test_rollback_drops_tables_absent_from_checkpoint(spark, tmp_path):
+    """ADVICE: a crash during round 0's commit phase (after the pages/parsed/
+    round_metrics appends, before _checkpoint(0)) must not leave their round-0
+    data in place — the replay would append it again, duplicating rows."""
+    cat = _bootstrap(spark, str(tmp_path / "d"))
+    # bootstrap checkpoint (round -1) has no snapshot for pages/parsed/
+    # round_metrics; simulate the mid-commit crash of round 0
+    pages_schema = cat.read("web").schema
+    partial = cat.read("web").limit(3)
+    cat.commit("pages", partial, mode="append", meta={"round": 0})
+    assert cat.read("pages") is not None
+
+    loop.rollback_to_checkpoint(spark, cat)
+    assert cat.read("pages") is None  # fully dropped, not half-kept
+
+    # the replayed run must produce no duplicate pages rows
+    loop.run_crawl(spark, cat, CFG, max_rounds=3)
+    pages = cat.read("pages").select("url")
+    assert pages.count() == pages.distinct().count()

@@ -1,0 +1,199 @@
+"""Round-2 similarity/dedup/ML operator properties that the SQL oracles cannot
+express: vectorized-UDF ≡ pure-reference signatures, LSH recall vs brute
+force (measured, not assumed), LSH-verified dedup ≡ brute-force dedup, and
+the OLS training → persist → load → predict round trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark, n=None):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    return d.filter(F.col("doc_id") < n) if n else d
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: vectorized UDF == readable per-token reference
+# ---------------------------------------------------------------------------
+def test_simhash_udf_matches_pure(spark):
+    from adavnceseo_crawler_spark.operators.dedup import (
+        make_simhash_udf,
+        simhash_pure,
+    )
+
+    texts = [r["text"] for r in _docs(spark, 30).select("text").collect()]
+    texts += ["", "one", "a b a b a", "x " * 500]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", make_simhash_udf()(F.col("t")).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == simhash_pure(t), (i, t[:40])
+
+
+def test_simhash_banding_is_exact_superset(spark):
+    """All pairs with Hamming ≤ bands-1 are candidates (pigeonhole), so the
+    operator's output equals brute force over the slice."""
+    from adavnceseo_crawler_spark.operators.dedup import (
+        make_simhash_udf,
+        simhash_candidates,
+    )
+
+    d = _docs(spark, 80)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(d, bands=16, max_hamming=9).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in d.select("doc_id", make_simhash_udf()(F.col("text")).alias("sh")).collect()
+    }
+    ids = sorted(sigs)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 9:
+                expected[(a, b)] = h
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH verified dedup == brute force (the oracle identity, in-engine)
+# ---------------------------------------------------------------------------
+def test_minhash_verified_equals_bruteforce(spark):
+    from adavnceseo_crawler_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_verified_pairs,
+    )
+    from adavnceseo_crawler_spark.queries import STOPWORDS
+
+    d = _docs(spark, 120)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(
+            d, threshold=0.9, stopwords=STOPWORDS, min_len=3
+        ).collect()
+    }
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+    ).filter((F.length("word") >= 3) & ~F.col("word").isin(*STOPWORDS))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(words, threshold=0.9).collect()
+    }
+    assert got == truth
+    assert len(truth) > 0  # non-vacuous on this corpus
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN: recall vs brute force, measured
+# ---------------------------------------------------------------------------
+def _brute_topk(spark, index, queries, k):
+    from adavnceseo_crawler_spark.operators.similarity import cosine_col
+
+    j = index.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("embedding"), F.col("q")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def test_lsh_batch_ann_recall(spark):
+    from adavnceseo_crawler_spark.operators.similarity import (
+        lsh_ann_join,
+        rademacher_planes,
+    )
+
+    e = _embs(spark)
+    index = e.filter(F.col("vec_id") < 400)
+    queries = e.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    planes = rademacher_planes(n_tables=8, n_bits=6, dim=64)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_ann_join(index, queries, planes, k=3).collect()
+    }
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in _brute_topk(spark, index, queries, 3).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    # random near-orthogonal vectors are the worst case for cosine LSH; the
+    # point of the measurement is that the number is REPORTED, not assumed
+    print(f"\nlsh batch ANN recall@3 = {recall:.3f} ({len(got)} returned)")
+    assert recall >= 0.25
+    assert len(got) > 0
+
+
+def test_lsh_single_query_candidates_subset_and_scored_exactly(spark):
+    """Every LSH hit must carry the exact brute-force cosine for its id (the
+    approximation only prunes candidates, never perturbs scores)."""
+    from adavnceseo_crawler_spark.operators.similarity import cosine_col, lsh_topk
+
+    e = _embs(spark)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = lsh_topk(
+        e.filter(F.col("vec_id") != 0), qv, dim=64, k=10, n_tables=8, n_bits=6
+    ).collect()
+    assert len(got) > 0
+    truth = {
+        r["vec_id"]: r["cos"]
+        for r in e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", F.round(cosine_col(F.col("embedding"), F.col("q")), 6).alias("cos")
+        )
+        .collect()
+    }
+    for r in got:
+        assert truth[r["vec_id"]] == r["cos"]
+
+
+# ---------------------------------------------------------------------------
+# OLS training path: fit -> persist to catalog -> load -> predict
+# ---------------------------------------------------------------------------
+def test_ols_fit_persist_predict(spark, tmp_catalog):
+    from adavnceseo_crawler_spark.functions.mlhooks import (
+        fit_ols2,
+        ols2_coeffs_from_sums,
+        ols2_predict_col,
+    )
+
+    # y = 7 + 3*f1 - 2*f2 exactly -> OLS must recover the coefficients
+    rows = [(i, i % 5, 7 + 3 * i - 2 * (i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y long")
+    coef = fit_ols2(df, "f1", "f2", "y")
+    assert abs(coef["b1"] - 3) < 1e-9
+    assert abs(coef["b2"] + 2) < 1e-9
+    assert abs(coef["intercept"] - 7) < 1e-9
+
+    # persist coefficients as a catalog table (the deployment shape: the
+    # offline fit job commits, the scoring job reads)
+    cdf = spark.createDataFrame(
+        [(coef["intercept"], coef["b1"], coef["b2"])], "intercept double, b1 double, b2 double"
+    )
+    tmp_catalog.commit("url_model", cdf, mode="overwrite", meta={"kind": "ols2"})
+    loaded = tmp_catalog.read("url_model").collect()[0]
+    coef2 = {"intercept": loaded["intercept"], "b1": loaded["b1"], "b2": loaded["b2"]}
+    pred = df.select(
+        "y", ols2_predict_col(coef2, F.col("f1"), F.col("f2")).alias("p")
+    ).collect()
+    for r in pred:
+        assert abs(r["p"] - r["y"]) < 1e-6
