@@ -96,6 +96,18 @@ class SnapshotCatalog:
         self._write_manifest(table, snap)
         return snap
 
+    def register_external(
+        self, table: str, dirs: list[str], meta: dict[str, Any] | None = None
+    ) -> Snapshot:
+        """Register existing parquet dirs as an overwrite snapshot WITHOUT
+        rewriting the data (Iceberg's ``add_files`` / external-location
+        pattern).  Used for large immutable inputs shared across runs."""
+        prev = self.latest(table)
+        sid = (prev.snapshot_id + 1) if prev else 0
+        snap = Snapshot(sid, "overwrite", list(dirs), meta or {})
+        self._write_manifest(table, snap)
+        return snap
+
     def commit_empty(self, table: str, schema, meta: dict[str, Any] | None = None):
         """Commit an empty overwrite snapshot with the given schema."""
         df = self.spark.createDataFrame([], schema)

@@ -27,6 +27,13 @@ def main() -> None:
     ap.add_argument("--synth-hosts", type=int, default=100)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    # real-network crawl: seeds from --seeds-file, fetch over HTTP
+    ap.add_argument("--http", action="store_true",
+                    help="fetch over real HTTP (operators/httpfetch.py) "
+                         "instead of the synthetic-web join")
+    ap.add_argument("--seeds-file", default=None,
+                    help="newline-delimited seed URLs (bootstraps a fresh "
+                         "warehouse without a synthetic web; implies --http)")
     args = ap.parse_args()
 
     from adavnceseo_crawler_spark import synth
@@ -38,26 +45,41 @@ def main() -> None:
     spark = get_spark(
         "crawl", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
+    http_mode = args.http or args.seeds_file is not None
     cfg = CrawlConfig(
         politeness_budget=args.budget,
         batch_size=args.batch_size,
         max_rounds=args.rounds,
         use_bloom=args.bloom,
+        fetch_mode="http" if http_mode else "synthetic",
     )
     cat = SnapshotCatalog(spark, args.warehouse)
 
     if not cat.exists("checkpoint"):
-        if not args.synth_pages:
-            raise SystemExit("fresh warehouse: pass --synth-pages to bootstrap")
-        n, h = args.synth_pages, args.synth_hosts
-        loop.bootstrap(
-            spark,
-            cat,
-            cfg,
-            synth.gen_seeds(spark, n, h),
-            synth.gen_pages(spark, n, h, partitions=max(32, n // 50000)),
-            synth.gen_robots(spark, h),
-        )
+        if args.seeds_file:
+            from adavnceseo_crawler_spark import schemas
+
+            seeds = spark.read.text(args.seeds_file).withColumnRenamed(
+                "value", "url"
+            )
+            loop.bootstrap(
+                spark, cat, cfg, seeds, None,
+                spark.createDataFrame([], schemas.ROBOTS),
+            )
+        elif args.synth_pages:
+            n, h = args.synth_pages, args.synth_hosts
+            loop.bootstrap(
+                spark,
+                cat,
+                cfg,
+                synth.gen_seeds(spark, n, h),
+                synth.gen_pages(spark, n, h, partitions=max(32, n // 50000)),
+                synth.gen_robots(spark, h),
+            )
+        else:
+            raise SystemExit(
+                "fresh warehouse: pass --synth-pages or --seeds-file to bootstrap"
+            )
 
     stats = loop.run_crawl(spark, cat, cfg, max_rounds=args.rounds)
     print(json.dumps(stats))

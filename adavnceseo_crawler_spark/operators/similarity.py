@@ -220,6 +220,105 @@ def lsh_ann_join(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (coarse-quantizer cells + probe-and-rerank) — the second scale
+# path next to sign-LSH.  Real IVF trains centroids with k-means; here the
+# coarse quantizer is data-sampled (fixed centroid rows), which keeps the
+# whole pipeline exactly SQL-expressible so the driver oracle can replay it
+# (swap in KMeans-fitted centroids on a real cluster — the dataflow below is
+# unchanged: assign is one pass, probe prunes cells, rerank is exact).
+# ---------------------------------------------------------------------------
+def _sqdist_cols(dot_vv, dot_vc, dot_cc):
+    """‖v-c‖² = v·v - 2·v·c + c·c with a fixed op order (oracle mirror)."""
+    return dot_vv - 2.0 * dot_vc + dot_cc
+
+
+def make_ivf_assign_udf(centroids: list[tuple[int, list[float]]]):
+    """pandas UDF: vector -> nearest centroid cell id (tie -> smaller id).
+
+    Distances use the same sequential-fold dot products as the SQL oracle
+    (cumsum, not matmul — see make_multi_bucket_udf)."""
+    cids = [c for c, _ in centroids]
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)  # (k, dim)
+
+    def _seq_dots(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # sequential per-element accumulation: (n, k) dots of rows×centroids
+        prods = m[:, None, :] * c[None, :, :]
+        return np.cumsum(prods, axis=2)[:, :, -1]
+
+    cc = np.array(
+        [np.cumsum(row * row)[-1] for row in cmat], dtype=np.float64
+    )  # (k,)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        out = np.empty(n, dtype=np.int32)
+        ids = np.asarray(cids)
+        chunk = 2048
+        for s in range(0, n, chunk):
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs.iloc[s : s + chunk]]
+            )
+            vv = np.cumsum(m * m, axis=1)[:, -1]  # (c,)
+            vc = _seq_dots(m, cmat)  # (c, k)
+            d2 = vv[:, None] - 2.0 * vc + cc[None, :]
+            # argmin with smaller-centroid-id tie-break: ids are sorted, and
+            # np.argmin returns the first minimum
+            order = np.argsort(ids)
+            d2o = d2[:, order]
+            out[s : s + m.shape[0]] = ids[order][np.argmin(d2o, axis=1)]
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(
+    index: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """IVF-flat single-query ANN: score only vectors whose cell is among the
+    query's n_probe nearest centroid cells, exact cosine rerank, top-k.
+
+    At 100 TB the cell id is a persisted partition column, so the probe is a
+    partition-pruned scan — nothing else is read."""
+    assign = make_ivf_assign_udf(centroids)
+    cells = index.withColumn("_cell", assign(F.col(vec_col)))
+    # query's n_probe nearest cells, computed on the (tiny) centroid list
+    spark = index.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids], "cid int, cvec array<double>"
+    )
+    qcells = (
+        cdf.crossJoin(F.broadcast(query))
+        .withColumn(
+            "_d2",
+            _sqdist_cols(
+                _dot(F.col(query_vec_col), F.col(query_vec_col)),
+                _dot(F.col(query_vec_col), F.col("cvec")),
+                _dot(F.col("cvec"), F.col("cvec")),
+            ),
+        )
+        .orderBy(F.asc("_d2"), F.asc("cid"))
+        .limit(n_probe)
+        .select(F.col("cid").alias("_cell"))
+    )
+    cand = cells.join(F.broadcast(qcells), "_cell").crossJoin(F.broadcast(query))
+    scored = cand.select(
+        id_col,
+        F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def lsh_topk(
     df: DataFrame,
     query: DataFrame,

@@ -56,10 +56,16 @@ def bootstrap(
     seeds: DataFrame,
     web: DataFrame | None,
     robots: DataFrame,
+    web_external_dir: str | None = None,
 ) -> None:
-    if web is None:  # http fetch mode needs no synthetic web
-        web = spark.createDataFrame([], schemas.PAGES)
-    cat.commit("web", web, mode="overwrite")
+    if web_external_dir is not None:
+        # big immutable web inputs are registered in place (Iceberg
+        # add_files), not rewritten — bench runs share one generated copy
+        cat.register_external("web", [web_external_dir])
+    else:
+        if web is None:  # http fetch mode needs no synthetic web
+            web = spark.createDataFrame([], schemas.PAGES)
+        cat.commit("web", web, mode="overwrite")
     cat.commit("robots", robots, mode="overwrite")
     frontier0 = seed_frontier(seeds)
     cat.commit("frontier", frontier0, mode="overwrite", meta={"round": 0})

@@ -135,6 +135,9 @@ def run_round(
         allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets,
         mode=cfg.dequeue_mode,
     ).cache()
+    # this count also materializes the cache BEFORE the fetch broadcast
+    # builds on it (the broadcast subquery would otherwise recompute the
+    # whole politeness window chain inside the parse job)
     n_scheduled = scheduled.count()
     tick("schedule")
     leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
@@ -234,7 +237,14 @@ def run_round(
         .withColumn("link", canonicalize_url_udf(F.col("href")))
         .filter(link_keep_predicate(F.col("link")))
     )
-    # first-enqueue-wins across parents: min depth per link (adopted semantics)
+    # first-enqueue-wins across parents: min depth per link (adopted semantics).
+    # the link count rides along as an OBSERVATION filled by the dedup
+    # count's query — a standalone count() job here is pure fixed cost that
+    # does not shrink with cores (scaling decomposition: ~1-2s launch
+    # latency per job at every level)
+    from pyspark.sql import Observation
+
+    obs_links = Observation()
     new_cand = (
         links.groupBy("link")
         .agg((F.min("depth") + 1).cast("int").alias("depth"))
@@ -242,8 +252,8 @@ def run_round(
         .withColumn("url_hash", url_hash(F.col("url")))
         .withColumn("host", host_col(F.col("url")))
         .select("url", "url_hash", "host", "depth")
+        .observe(obs_links, F.count(F.lit(1)).alias("n"))
     )
-    n_links = new_cand.count()
     tick("fetch_parse_links")
 
     if cfg.use_bloom:
@@ -260,6 +270,8 @@ def run_round(
             seen.select("url_hash"), "url_hash", "left_anti"
         ).cache()
         n_new = survivors.count()
+    # the survivors count above also filled obs_links (new_cand feeds it)
+    n_links = int(obs_links.get["n"])
     tick("dedup")
 
     # ---- next frontier -------------------------------------------------------------

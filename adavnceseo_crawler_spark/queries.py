@@ -1602,6 +1602,57 @@ def q47(spark, sf):
 
 
 @q(
+    "q49_ivf_ann_topk",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id >= 16 AND vec_id <> 499),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 499),
+    asg AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               (list_dot_product(v, v) - 2.0 * list_dot_product(v, cvec)
+                + list_dot_product(cvec, cvec)) ASC, cid ASC) AS rn
+      FROM v, c),
+    cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+    qc AS (
+      SELECT cid FROM (
+        SELECT cid,
+               row_number() OVER (ORDER BY
+                 (list_dot_product(q, q) - 2.0 * list_dot_product(q, cvec)
+                  + list_dot_product(cvec, cvec)) ASC, cid ASC) AS rn
+        FROM c, qv) WHERE rn <= 4)
+    SELECT v.vec_id,
+           round(list_dot_product(v, q)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6) AS cos
+    FROM v JOIN cells ON v.vec_id = cells.vec_id
+           JOIN qc ON cells.cid = qc.cid, qv
+    ORDER BY cos DESC, v.vec_id ASC LIMIT 10
+    """,
+)
+def q49(spark, sf):
+    """IVF-flat ANN (the second scale path next to sign-LSH q29/q47): assign
+    every vector to its nearest coarse-quantizer cell, probe the query's 4
+    nearest cells, exact cosine rerank, top-10.  The coarse quantizer is
+    data-sampled (centroids = vec_id < 16) so the oracle replays the entire
+    pipeline in SQL — on a real cluster the centroids come from KMeans and
+    the cell id is a persisted partition column (partition-pruned probe)."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    index = e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") != 499))
+    query = e.filter(F.col("vec_id") == 499).select(F.col("embedding").alias("q"))
+    return ivf_topk(index, query, cents, k=10, n_probe=4)
+
+
+@q(
     "q48_centroid_classifier",
     """
     WITH feats AS (

@@ -364,6 +364,40 @@ def gen_robots(spark, n_hosts: int):
 def gen_seeds(spark, n_pages: int, n_hosts: int, n_seeds: int = 8):
     from .schemas import SEEDS
 
+    if n_seeds > 100_000:
+        # large benches: never materialize seeds on the driver
+        return gen_seeds_distributed(spark, n_pages, n_hosts, n_seeds)
     return spark.createDataFrame(
         [(u,) for u in seed_urls(n_pages, n_hosts, n_seeds)], SEEDS
+    )
+
+
+def gen_seeds_distributed(
+    spark, n_pages: int, n_hosts: int, n_seeds: int, partitions: int = 64
+):
+    """Seed URLs as a distributed DataFrame (pure function of seed index —
+    same messy-form mix as seed_urls, no driver-side list).  Used by the
+    scaling benches, where seeds number 10^6+."""
+    import pandas as pd
+
+    from .schemas import SEEDS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                u = url_of(mix(997, i) % n_pages, n_hosts)
+                form = i % 3
+                if form == 1:
+                    u = u[len("https://"):]
+                elif form == 2:
+                    scheme, rest = u.split("://", 1)
+                    host, _, pathq = rest.partition("/")
+                    u = f"{scheme}://{host.upper()}/{pathq}"
+                out.append(u)
+            yield pd.DataFrame({"url": out})
+
+    return spark.range(0, n_seeds, numPartitions=partitions).mapInPandas(
+        batches, schema=SEEDS
     )

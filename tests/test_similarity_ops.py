@@ -197,3 +197,49 @@ def test_ols_fit_persist_predict(spark, tmp_catalog):
     ).collect()
     for r in pred:
         assert abs(r["p"] - r["y"]) < 1e-6
+
+
+def test_ivf_topk_scores_exact_and_prunes(spark):
+    """IVF hits carry exact brute-force cosines; candidates come only from
+    the probed cells (pruning is real, not a full scan)."""
+    from adavnceseo_crawler_spark.operators.similarity import (
+        cosine_col,
+        ivf_topk,
+        make_ivf_assign_udf,
+    )
+
+    e = _embs(spark)
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    index = e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") != 499))
+    query = e.filter(F.col("vec_id") == 499).select(F.col("embedding").alias("q"))
+    got = ivf_topk(index, query, cents, k=10, n_probe=4).collect()
+    assert 0 < len(got) <= 10
+
+    truth = {
+        r["vec_id"]: r["cos"]
+        for r in index.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert truth[r["vec_id"]] == r["cos"]
+
+    # pruning: with all 16 cells probed the result is the exact brute-force
+    # top-10; with 4 it may differ but must come from a strict candidate
+    # subset (fewer candidates scored than the index size)
+    assign = make_ivf_assign_udf(cents)
+    cell_counts = (
+        index.withColumn("_cell", assign(F.col("embedding")))
+        .groupBy("_cell").count().collect()
+    )
+    assert len(cell_counts) > 4  # >n_probe cells exist => pruning is real
+
+    full = ivf_topk(index, query, cents, k=10, n_probe=len(cents)).collect()
+    brute_top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["vec_id"], r["cos"]) for r in full] == brute_top
