@@ -243,3 +243,53 @@ def test_ivf_topk_scores_exact_and_prunes(spark):
     full = ivf_topk(index, query, cents, k=10, n_probe=len(cents)).collect()
     brute_top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["vec_id"], r["cos"]) for r in full] == brute_top
+
+
+def test_charshingle_minhash_estimate_variant(spark):
+    """The estimate-only char-shingle MinHash path (the single-pass scale
+    variant: no second pass over token sets): exact duplicates estimate
+    J=1.0 and are always candidates; disjoint-alphabet texts never pass."""
+    from adavnceseo_crawler_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_dedup_pairs,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),  # dup of 0
+        (2, "zulu yankee xray whiskey victor uniform tango sierra"),
+        (3, "0123 4567 89ab cdef 0123 4567 89ab cdef 0123 4567"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_candidates(d).collect()}
+    assert (0, 1) in cand  # identical signatures share every band
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(d, threshold=0.8).collect()
+    }
+    assert pairs == {(0, 1): 1.0}
+
+
+def test_gaussian_lsh_bucket_udf_vectorized_matches_reference(spark):
+    """The Gaussian-hyperplane bucket UDF (batch matmul) equals the per-row
+    reference computation."""
+    import numpy as np
+
+    from adavnceseo_crawler_spark.operators.similarity import (
+        _hyperplanes,
+        make_lsh_bucket_udf,
+    )
+
+    e = _embs(spark).filter(F.col("vec_id") < 50)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in e.select(
+            "vec_id", make_lsh_bucket_udf(dim=64, n_planes=12)(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    planes = _hyperplanes(64, 12)
+    for r in e.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        ref = int(sum(1 << j for j, s in enumerate(planes @ v > 0) if s))
+        assert got[r["vec_id"]] == ref
