@@ -85,3 +85,46 @@ def test_fetch_crawl_time_matches_python_mirror(spark):
     rows = df.withColumn("ct", crawl_time_col(F.col("url_hash"))).collect()
     for r in rows:
         assert abs(r["ct"] - crawl_time_of(r["url"])) < 1e-12
+
+
+def test_batch_ann_join_broadcasts_queries(spark):
+    """q47's candidate join must broadcast the (small) query side — the
+    index never shuffles (the 100 TB invariant)."""
+    from adavnceseo_crawler_spark.operators.similarity import (
+        lsh_ann_join,
+        rademacher_planes,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = rademacher_planes(n_tables=2, n_bits=4, dim=64)
+    res = lsh_ann_join(
+        e.filter(F.col("vec_id") < 400),
+        e.filter(F.col("vec_id") >= 400).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        ),
+        planes,
+        k=3,
+    )
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan, plan
+    # no sort-merge/shuffled-hash join of the index side anywhere
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_term_filter_pushed_below_aggregate(spark):
+    """The query-term filter must reach the postings build (filter on the
+    grouping key pushes through the tf aggregate), so only matching terms
+    are ever aggregated."""
+    from adavnceseo_crawler_spark.operators.search import bm25_topk
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_topk(d, terms=["spark", "query"], k=5))
+    # the isin filter appears below the first HashAggregate: Spark renders
+    # pushed filters inside the Filter operator feeding the aggregate — check
+    # that a Filter mentioning the terms exists at all (not filtered post-agg
+    # driver-side) and that the plan still contains the partial aggregate
+    assert "spark" in plan and "query" in plan
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.rfind("Filter")
+    assert agg_pos != -1 and filt_pos != -1
+    assert filt_pos > agg_pos  # a Filter sits BELOW (printed after) the aggs
