@@ -1657,6 +1657,49 @@ def q49(spark, sf):
 
 
 @q(
+    "q50_robots_filter",
+    f"""
+    WITH p AS ({_PATH_SYNTH_SQL}),
+    cand AS (
+      SELECT p_partkey,
+             'host' || CAST(p_partkey % 9 AS VARCHAR) || '.example.com' AS host,
+             path,
+             CAST(p_partkey % 9 AS INT) AS hidx
+      FROM p)
+    SELECT p_partkey, host, path,
+           CASE WHEN hidx % 3 = 0
+                 AND (path LIKE '/tag/%' OR path LIKE '/page/%') THEN FALSE
+                ELSE TRUE END AS robots_allowed
+    FROM cand
+    """,
+)
+def q50(spark, sf):
+    """F5/J2 through the driver oracle: the engine's broadcast-join +
+    longest-prefix robots operator over the deterministic synth rule set
+    (host%3==0 disallows /tag/ and /page/ with a catch-all allow '/',
+    host%3==1 allows all, host%3==2 has no robots → permissive,
+    url_frontier.py:139-163).  Because the rule set is a fixed literal, the
+    longest-prefix outcome reduces to the CASE the oracle states — the
+    operator itself runs the general array_max(struct(len, allow)) match."""
+    from . import synth
+    from .operators.robotsops import apply_robots
+
+    p = _path_synth_spark(spark, sf)
+    cand = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("host"), (F.col("p_partkey") % 9).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "path",
+    )
+    robots = synth.gen_robots(spark, 9)
+    return apply_robots(cand, robots).select(
+        "p_partkey", "host", "path", "robots_allowed"
+    )
+
+
+@q(
     "q48_centroid_classifier",
     """
     WITH feats AS (
