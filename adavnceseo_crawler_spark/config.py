@@ -52,6 +52,12 @@ class CrawlConfig:
     request_timeout: float = 30.0  # settings.py:19
     http_inflight_retries: int = 3  # in-request retries (settings.py:35)
     http_retry_delay: float = 1.0  # backoff base (crawler.py:124-126)
+    # wall-clock sleep between same-host requests inside the http fetch stage
+    # (settings.py:18 POLITENESS_DELAY=1.0, crawler.py:82).  The reference
+    # default is 1.0s; tests/benches against the loopback fixture set a small
+    # value.  Only the "http" fetch path sleeps — the synthetic join models
+    # politeness purely through politeness_budget.
+    politeness_delay: float = 1.0
 
     # persist the full ParsedPage table every round (the analytics surface
     # reads it); throughput benches may disable it — pages/crawl_log/frontier

@@ -59,8 +59,14 @@ def main() -> None:
         if args.seeds_file:
             from adavnceseo_crawler_spark import schemas
 
-            seeds = spark.read.text(args.seeds_file).withColumnRenamed(
-                "value", "url"
+            from pyspark.sql import functions as F
+
+            # trim + drop blanks: a trailing space would survive
+            # canonicalization inside the path and yield a wrong canonical url
+            seeds = (
+                spark.read.text(args.seeds_file)
+                .select(F.trim("value").alias("url"))
+                .filter(F.length("url") > 0)
             )
             loop.bootstrap(
                 spark, cat, cfg, seeds, None,

@@ -12,10 +12,20 @@ hash-aggregate.  Brute-force Jaccard is provided for oracle checks at small n.
 
 from __future__ import annotations
 
+import sys
 from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
+
+# the vectorized simhash/minhash kernels reinterpret uint64 hash words as
+# byte arrays (``.view(np.uint8)`` before unpackbits, and ``packbits(...)
+# .view(np.uint64)`` to reassemble) — that round-trip is only bit-stable on
+# little-endian hosts, and the DuckDB oracles assume the same layout.
+assert sys.byteorder == "little", (
+    "dedup signature kernels require a little-endian host (uint64<->uint8 "
+    "view round-trips); use explicit '<u8' dtypes to port to big-endian"
+)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -153,12 +153,20 @@ def fetch_batch_http(
     max_retries: int = 3,
     retry_delay: float = 1.0,
     politeness_delay: float = 0.0,
-) -> tuple[DataFrame, DataFrame]:
-    """Drop-in replacement for fetch.fetch_batch returning (hits, misses)
-    with the same column contract, so the crawl round is oblivious to which
-    fetch operator ran.  ``base_url_rewrite=(prefix, replacement)`` swaps a
-    PLAIN URL PREFIX both ways, letting tests point canonical URLs at a local
-    fixture server (e.g. "https://" -> "http://127.0.0.1:PORT/").
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Drop-in replacement for fetch.fetch_batch returning (hits, misses, raw)
+    with the same (hits, misses) column contract, so the crawl round is
+    oblivious to which fetch operator ran.  ``base_url_rewrite=(prefix,
+    replacement)`` swaps a PLAIN URL PREFIX both ways, letting tests point
+    canonical URLs at a local fixture server (e.g. "https://" ->
+    "http://127.0.0.1:PORT/").
+
+    The network stage runs EXACTLY ONCE: the mapInPandas result is persisted
+    and materialized here before hits/misses are split off it.  Live HTTP is
+    nondeterministic, so re-executing the fetch plan per downstream action
+    (pages append, crawl_log append, frontier retry) could put a URL in both
+    ok and misses or in neither — the caller must ``raw.unpersist()`` after
+    its commits land.
 
     Real HTTP has no WARC capture timestamp or source-lang column — both are
     NULL (parse stamps ts from warc_ts only when present)."""
@@ -187,6 +195,10 @@ def fetch_batch_http(
         # undo the rewrite so downstream tables carry the canonical url
         find, repl = base_url_rewrite
         res = res.withColumn("url", _swap_prefix(F.col("url"), repl, find))
+    # materialize the network stage ONCE — every downstream plan reads the
+    # cached result, never re-issues requests
+    res = res.persist()
+    res.count()
     ok = (
         res.filter(F.col("success"))
         .withColumn("warc_ts", F.lit(None).cast("timestamp"))
@@ -208,4 +220,4 @@ def fetch_batch_http(
         .withColumn("crawl_time", F.lit(None).cast("double"))
         .drop("_status", "_err")
     )
-    return ok, misses
+    return ok, misses, res

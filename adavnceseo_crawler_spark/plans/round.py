@@ -147,16 +147,18 @@ def run_round(
     # inherits the web scan's partitioning (fetch.py docstring).
     # http: batched real HTTP per host-partition (operators/httpfetch.py) —
     # payloads are born in the fetch task and flow straight into parse.
+    raw_fetch = None
     if cfg.fetch_mode == "http":
         from ..operators.httpfetch import fetch_batch_http
 
-        ok, failed = fetch_batch_http(
+        ok, failed, raw_fetch = fetch_batch_http(
             scheduled,
             cfg.user_agent,
             base_url_rewrite=cfg.http_base_rewrite,
             timeout=cfg.request_timeout,
             max_retries=cfg.http_inflight_retries,
             retry_delay=cfg.http_retry_delay,
+            politeness_delay=cfg.politeness_delay,
         )
     else:
         ok, failed = fetch_batch(scheduled, web)
@@ -406,6 +408,8 @@ def run_round(
 
     for df in (frontier, cand, scheduled, parsed, new_log, survivors):
         df.unpersist()
+    if raw_fetch is not None:
+        raw_fetch.unpersist()
 
     return {
         "round": round_no,

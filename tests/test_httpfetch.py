@@ -15,9 +15,11 @@ UA = "Mozilla/5.0 (compatible; CustomCrawler/1.0; +http://example.com/bot)"
 class _Handler(BaseHTTPRequestHandler):
     flaky_hits: dict[str, int] = {}
     seen_agents: list[str] = []
+    request_counts: dict[str, int] = {}
 
     def do_GET(self):  # noqa: N802
         _Handler.seen_agents.append(self.headers.get("User-Agent", ""))
+        _Handler.request_counts[self.path] = _Handler.request_counts.get(self.path, 0) + 1
         if self.path.endswith("/missing"):
             self.send_error(404)
             return
@@ -121,7 +123,8 @@ def test_hits_misses_contract_and_parse(spark, http_server):
     sched = _scheduled(spark, urls).withColumn(
         "discovered_ts", F.lit(None).cast("timestamp")
     ).withColumn("seq", F.lit(0).cast("long")).withColumn("retries", F.lit(0))
-    ok, misses = fetch_batch_http(
+    _Handler.request_counts.clear()
+    ok, misses, raw = fetch_batch_http(
         sched,
         user_agent=UA,
         base_url_rewrite=("https://", http_server),
@@ -149,6 +152,15 @@ def test_hits_misses_contract_and_parse(spark, http_server):
     assert m[0]["status_code"] == 404 and not m[0]["success"]
     assert m[0]["retries"] == 0  # frontier columns preserved for requeue
 
+    # the network stage ran EXACTLY ONCE despite multiple downstream actions
+    # (ok.collect, parse.collect, misses.collect) — fetch_batch_http persists
+    # the mapInPandas result before splitting (live HTTP is nondeterministic;
+    # re-execution could duplicate or lose rows)
+    assert all(n == 1 for n in _Handler.request_counts.values()), (
+        _Handler.request_counts
+    )
+    raw.unpersist()
+
 
 def test_full_crawl_rounds_over_http(spark, http_server, tmp_path):
     """The whole BSP loop with fetch_mode='http': seeds -> robots ->
@@ -168,6 +180,7 @@ def test_full_crawl_rounds_over_http(spark, http_server, tmp_path):
         request_timeout=2.0,
         http_inflight_retries=1,
         http_retry_delay=0.01,
+        politeness_delay=0.02,  # real sleeps, scaled down for the fixture
     )
     cat = SnapshotCatalog(spark, str(tmp_path / "httpwh"))
     seeds = spark.createDataFrame(

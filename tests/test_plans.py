@@ -118,13 +118,29 @@ def test_bm25_term_filter_pushed_below_aggregate(spark):
     from adavnceseo_crawler_spark.operators.search import bm25_topk
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = _plan(bm25_topk(d, terms=["spark", "query"], k=5))
-    # the isin filter appears below the first HashAggregate: Spark renders
-    # pushed filters inside the Filter operator feeding the aggregate — check
-    # that a Filter mentioning the terms exists at all (not filtered post-agg
-    # driver-side) and that the plan still contains the partial aggregate
-    assert "spark" in plan and "query" in plan
-    agg_pos = plan.find("HashAggregate")
-    filt_pos = plan.rfind("Filter")
-    assert agg_pos != -1 and filt_pos != -1
-    assert filt_pos > agg_pos  # a Filter sits BELOW (printed after) the aggs
+    df = bm25_topk(d, terms=["spark", "query"], k=5)
+    # structural check on the OPTIMIZED LOGICAL plan (tree printed parent
+    # first, children after): the Filter carrying the term literals must sit
+    # between an Aggregate and its parquet leaf with NO Aggregate in between
+    # — i.e. terms are filtered BEFORE the tf aggregate ever runs, not after.
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    term_filter_idxs = [
+        i for i, ln in enumerate(lines)
+        if "Filter" in ln and "spark" in ln and "query" in ln
+    ]
+    assert term_filter_idxs, "no Filter carrying the query terms in the plan"
+    ok = False
+    for fi in term_filter_idxs:
+        # walk down from the filter to its leaf; reaching a parquet relation
+        # without crossing another Aggregate proves the filter feeds the scan
+        for ln in lines[fi + 1:]:
+            if "Aggregate" in ln:
+                break
+            if "parquet" in ln or "Relation" in ln:
+                ok = True
+                break
+        if ok:
+            break
+    assert ok, "term filter is not between the aggregate and the parquet scan"
+    # and the aggregate itself is still present above it
+    assert any("Aggregate" in ln for ln in lines[: term_filter_idxs[0]])
