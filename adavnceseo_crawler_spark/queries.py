@@ -1045,6 +1045,70 @@ def q31(spark, sf):
     )
 
 
+def _q31_oracle() -> str | None:
+    """Sim-replay oracle for the flagship crawl entry: the pure-Python
+    reference simulator (tests/reference_sim.py — an independent
+    reimplementation of the reference's loop, crawler/core/fetcher/
+    crawler.py:169-203) computes the exact expected crawl_log for q31's
+    deterministic inputs; emitted as a literal VALUES table so DuckDB checks
+    the whole BSP loop row-for-row (rows + schema + value hash).
+
+    Status codes mirror the synthetic fetch operator: success -> 200,
+    fetch miss -> 404 (operators/fetch.py), robots-blocked -> NULL."""
+    import importlib.util
+    import os
+
+    sim_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "reference_sim.py",
+    )
+    if not os.path.exists(sim_path):  # installed without tests/ -> rows-only
+        return None
+    import sys
+
+    spec = importlib.util.spec_from_file_location("_q31_reference_sim", sim_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod  # dataclasses resolves cls.__module__
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.modules.pop(spec.name, None)
+    from .config import CrawlConfig
+
+    res = mod.simulate(
+        300, 8, CrawlConfig(politeness_budget=3, batch_size=50, max_rounds=2)
+    )
+
+    def lit(s: str | None) -> str:
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = []
+    for e in res.log:
+        status = (
+            "200" if e["success"]
+            else ("404" if e["error"] == "fetch_failed" else "NULL")
+        )
+        rows.append(
+            f"({e['round']}, {lit(e['url'])}, {lit(e['host'])}, {status}, "
+            f"{'TRUE' if e['success'] else 'FALSE'}, {lit(e['error'])})"
+        )
+    return (
+        "SELECT CAST(round AS INTEGER) AS round, url, host, "
+        "CAST(status_code AS INTEGER) AS status_code, "
+        "CAST(success AS BOOLEAN) AS success, error "
+        "FROM (VALUES "
+        + ",\n".join(rows)
+        + ") AS t(round, url, host, status_code, success, error)"
+    )
+
+
+_sql31 = _q31_oracle()
+if _sql31 is not None:
+    ORACLES["q31_crawl_round"] = _sql31
+del _sql31
+
+
 # =============================================================================
 # Additional operator coverage (O/C/J/W/A rows of SURVEY.md §2)
 # =============================================================================
