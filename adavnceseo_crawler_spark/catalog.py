@@ -96,6 +96,58 @@ class SnapshotCatalog:
         self._write_manifest(table, snap)
         return snap
 
+    def commit_many(
+        self,
+        commits: list[tuple[str, DataFrame, str, dict[str, Any] | None]],
+        max_workers: int | None = None,
+    ) -> dict[str, float]:
+        """Multi-table transaction (Iceberg's multi-table commit shape): all
+        data dirs are written first as CONCURRENT Spark jobs, then every
+        manifest is renamed in one driver-side pass — the round pays a single
+        commit barrier, and no table's new snapshot becomes visible until all
+        data writes have landed.  (Visibility is still per-table-atomic; the
+        cross-table point of consistency remains the checkpoint manifest, as
+        before.)  Returns per-table data-write wall seconds for the scaling
+        decomposition."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        staged: dict[str, Snapshot] = {}
+        walls: dict[str, float] = {}
+
+        def _write(c) -> None:
+            table, df, mode, meta = c
+            t0 = time.monotonic()
+            prev = self.latest(table)
+            sid = (prev.snapshot_id + 1) if prev else 0
+            data_dir = os.path.join(self._tdir(table), f"snap-{sid:06d}")
+            df.write.mode("overwrite").parquet(data_dir)
+            dirs = (
+                [data_dir]
+                if mode == "overwrite"
+                else (prev.dirs if prev else []) + [data_dir]
+            )
+            staged[table] = Snapshot(sid, mode, dirs, meta or {})
+            walls[table] = round(time.monotonic() - t0, 3)
+
+        with ThreadPoolExecutor(max_workers=max_workers or len(commits)) as pool:
+            list(pool.map(_write, commits))
+        for table, snap in staged.items():  # μs each: one rename per table
+            self._write_manifest(table, snap)
+        return walls
+
+    def commit_manifest_only(
+        self, table: str, meta: dict[str, Any] | None = None
+    ) -> Snapshot:
+        """Commit a data-less snapshot carrying only metadata — no Spark job.
+        Used for the per-round checkpoint, whose payload lives entirely in
+        the manifest's ``meta`` (round number + table snapshot ids)."""
+        prev = self.latest(table)
+        sid = (prev.snapshot_id + 1) if prev else 0
+        snap = Snapshot(sid, "overwrite", [], meta or {})
+        self._write_manifest(table, snap)
+        return snap
+
     def register_external(
         self, table: str, dirs: list[str], meta: dict[str, Any] | None = None
     ) -> Snapshot:

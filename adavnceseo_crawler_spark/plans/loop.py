@@ -103,12 +103,13 @@ def _checkpoint(spark: SparkSession, cat: SnapshotCatalog, round_no: int, stats:
     snapshots = {
         t: cat.latest(t).snapshot_id for t in TABLES if cat.latest(t) is not None
     }
-    df = spark.createDataFrame(
-        [(round_no, str(stats))], "round int, stats string"
-    )
-    cat.commit(
-        "checkpoint", df, mode="overwrite",
-        meta={"round": round_no, "snapshots": snapshots},
+    # manifest-only commit: the checkpoint payload is pure metadata (round
+    # number + snapshot ids), so writing it as a 1-row parquet table was a
+    # whole Spark job of fixed per-round cost for nothing — nobody ever reads
+    # the data, only the manifest meta (last_completed_round, rollback)
+    cat.commit_manifest_only(
+        "checkpoint",
+        meta={"round": round_no, "snapshots": snapshots, "stats": str(stats)},
     )
 
 
