@@ -84,6 +84,23 @@ def make_lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return lsh_bucket
 
 
+# Published LSH operating points (BENCH/ann_calibration.py sweep over the
+# planted-near-neighbor fixture, synth.gen_planted_vectors: median true-
+# neighbor cos 0.917 — the regime ANN dedup/search targets; BENCH/
+# ann_recall.json has the full recall-vs-candidate-count curve):
+#   * 8 tables × 6 bits  — recall@3 1.00 planted (0.25+ measured on the
+#     random near-orthogonal worst case), candidates 13.7% of index; the
+#     oracle-replayable config used by q29/q47.
+#   * HIGH_RECALL 16 × 8 — recall@3 1.00 planted at 8.2% candidates; the
+#     scale preset for ANN dedup (asserted ≥ 0.9 in
+#     tests/test_similarity_ops.py::test_lsh_high_recall_preset_on_planted).
+LSH_HIGH_RECALL = {"n_tables": 16, "n_bits": 8}
+# IVF on the same fixture (24 data-sampled cells): n_probe 16 → recall 1.0,
+# n_probe 8 → 0.956; probe-count is the recall knob (q49 uses 4 for the
+# oracle-checkable small config).
+IVF_HIGH_RECALL_N_PROBE = 16
+
+
 # -- deterministic ±1 (Rademacher) hyperplanes -------------------------------
 # Sign-random-projection with ±1 plane entries is an equally valid cosine-LSH
 # family, and — unlike float Gaussian planes — both the plane values and the

@@ -401,3 +401,43 @@ def gen_seeds_distributed(
     return spark.range(0, n_seeds, numPartitions=partitions).mapInPandas(
         batches, schema=SEEDS
     )
+
+
+def gen_planted_vectors(
+    n_bases: int = 60,
+    n_copies: int = 4,
+    n_queries: int = 30,
+    dim: int = 64,
+    noise: float = 0.04,
+    seed: int = 7,
+):
+    """Planted-near-neighbor embedding fixture for ANN recall calibration.
+
+    ``n_bases`` unit base vectors; each contributes ``n_copies`` noisy
+    copies to the INDEX (cosine of copy to base ≈ 1/sqrt(1 + noise²·dim);
+    at noise 0.04, copy-to-copy cosine ≈ 0.90 — the near-dup regime ANN
+    dedup targets), and the first ``n_queries`` bases
+    contribute one extra noisy copy each as the QUERY set, so every query
+    has a known cluster of true near neighbors.  Deterministic
+    (np.random.RandomState(seed)).  Returns (index_ids, index_vecs,
+    query_ids, query_vecs) with float32 vectors (the embeddings-table
+    dtype)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    bases = rng.standard_normal((n_bases, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+
+    def _noisy(b):
+        v = b + noise * rng.standard_normal(dim)
+        return v / np.linalg.norm(v)
+
+    index_vecs = np.stack(
+        [_noisy(bases[i]) for i in range(n_bases) for _ in range(n_copies)]
+    ).astype(np.float32)
+    index_ids = list(range(n_bases * n_copies))
+    query_vecs = np.stack([_noisy(bases[i]) for i in range(n_queries)]).astype(
+        np.float32
+    )
+    query_ids = list(range(1000, 1000 + n_queries))
+    return index_ids, index_vecs, query_ids, query_vecs
