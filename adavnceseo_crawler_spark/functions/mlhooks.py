@@ -141,6 +141,91 @@ def fit_ols2(df: DataFrame, f1: str, f2: str, label: str) -> dict[str, float]:
     )
 
 
+def ols3_coeffs_from_sums(
+    n: int, s1: int, s2: int, s3: int, sy: int,
+    s11: int, s12: int, s13: int, s22: int, s23: int, s33: int,
+    s1y: int, s2y: int, s3y: int,
+) -> dict[str, float]:
+    """3-feature OLS from exact integer sufficient statistics — Cramer's
+    rule on the centered 3×3 normal matrix.  Every double op below is
+    mirrored verbatim in the q53 oracle SQL (same operand order → identical
+    IEEE results), so coefficients and predictions are bit-identical.
+    The third regressor slot is how U10 takes an EMBEDDING feature next to
+    the scalar URL features (ml/url_prioritizer.py:157-162 concatenates a
+    MiniLM vector; fixed-point quantization keeps the statistics exact)."""
+    m1 = s1 / n
+    m2 = s2 / n
+    m3 = s3 / n
+    my = sy / n
+    c11 = s11 / n - m1 * m1
+    c12 = s12 / n - m1 * m2
+    c13 = s13 / n - m1 * m3
+    c22 = s22 / n - m2 * m2
+    c23 = s23 / n - m2 * m3
+    c33 = s33 / n - m3 * m3
+    c1y = s1y / n - m1 * my
+    c2y = s2y / n - m2 * my
+    c3y = s3y / n - m3 * my
+    det = (
+        c11 * (c22 * c33 - c23 * c23)
+        - c12 * (c12 * c33 - c23 * c13)
+        + c13 * (c12 * c23 - c22 * c13)
+    )
+    b1 = (
+        c1y * (c22 * c33 - c23 * c23)
+        - c12 * (c2y * c33 - c23 * c3y)
+        + c13 * (c2y * c23 - c22 * c3y)
+    ) / det
+    b2 = (
+        c11 * (c2y * c33 - c23 * c3y)
+        - c1y * (c12 * c33 - c23 * c13)
+        + c13 * (c12 * c3y - c2y * c13)
+    ) / det
+    b3 = (
+        c11 * (c22 * c3y - c2y * c23)
+        - c12 * (c12 * c3y - c2y * c13)
+        + c1y * (c12 * c23 - c22 * c13)
+    ) / det
+    return {
+        "intercept": my - b1 * m1 - b2 * m2 - b3 * m3,
+        "b1": b1, "b2": b2, "b3": b3,
+    }
+
+
+def fit_ols3(df: DataFrame, f1: str, f2: str, f3: str, label: str) -> dict[str, float]:
+    """Exact 3-feature OLS — one map-side-combinable aggregate of integer
+    sums (see fit_ols2); inputs must be integer-valued columns."""
+    cols = {"f1": F.col(f1), "f2": F.col(f2), "f3": F.col(f3), "y": F.col(label)}
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((cols[a] * cols[b]).cast("long")).alias(f"s{a[-1]}{b[-1]}")
+            for a, b in (
+                ("f1", "f1"), ("f1", "f2"), ("f1", "f3"), ("f2", "f2"),
+                ("f2", "f3"), ("f3", "f3"), ("f1", "y"), ("f2", "y"),
+                ("f3", "y"),
+            )
+        ],
+        *[F.sum(cols[a].cast("long")).alias(f"s{a[-1]}") for a in ("f1", "f2", "f3", "y")],
+    ).collect()[0]
+    return ols3_coeffs_from_sums(
+        r["n"], r["s1"], r["s2"], r["s3"], r["sy"],
+        r["s11"], r["s12"], r["s13"], r["s22"], r["s23"], r["s33"],
+        r["s1y"], r["s2y"], r["s3y"],
+    )
+
+
+def ols3_predict_col(
+    coef: dict[str, float], f1: Column, f2: Column, f3: Column
+) -> Column:
+    return (
+        F.lit(coef["intercept"])
+        + F.lit(coef["b1"]) * f1
+        + F.lit(coef["b2"]) * f2
+        + F.lit(coef["b3"]) * f3
+    )
+
+
 def ols2_predict_col(coef: dict[str, float], f1: Column, f2: Column) -> Column:
     return (
         F.lit(coef["intercept"]) + F.lit(coef["b1"]) * f1 + F.lit(coef["b2"]) * f2

@@ -76,24 +76,28 @@ def inverted_index(
     return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def bm25_topk(
-    df: DataFrame,
+def bm25_token_scores(
+    tokenized: DataFrame,
     terms: list[str],
-    k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    tokens_col: str = "tokens",
 ) -> DataFrame:
-    """BM25 top-k: idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) summed over
-    query terms, idf = ln(1 + (N-df+0.5)/(df+0.5)) (Lucene's formulation).
-
-    Dataflow: postings filtered to the query terms (tiny), joined to per-doc
-    lengths; N/avgdl/df are scalar/broadcast aggregates — nothing shuffles
-    except the postings build."""
-    idx = inverted_index(df, id_col, text_col).filter(F.col("term").isin(*terms))
-    dl = df.select(
-        F.col(id_col), F.size(doc_tokens(df, id_col, text_col)).cast("double").alias("dl")
+    """(id, bm25) over a PRE-TOKENIZED field column — the per-field scorer
+    behind both bm25_topk (single field) and bm25_best_fields (the real ES
+    ``multi_match`` per-field shape).  Only docs with ≥1 query-term hit are
+    returned (their score is strictly positive: idf = ln(1+x), x > 0)."""
+    toks = tokenized.select(
+        F.col(id_col), F.explode(F.col(tokens_col)).alias("term")
+    )
+    idx = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tokenized.select(
+        F.col(id_col), F.size(F.col(tokens_col)).cast("double").alias("dl")
     )
     # exact integer sufficient statistics -> bit-identical avgdl on any
     # partitioning (and vs the sequential DuckDB oracle)
@@ -140,11 +144,76 @@ def bm25_topk(
     for i in range(len(terms)):
         part = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
         total = part if total is None else total + part
+    return scored.groupBy(id_col).agg(*per_term).select(
+        id_col, total.alias("bm25")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k: idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) summed over
+    query terms, idf = ln(1 + (N-df+0.5)/(df+0.5)) (Lucene's formulation).
+
+    Dataflow: postings filtered to the query terms (tiny), joined to per-doc
+    lengths; N/avgdl/df are scalar/broadcast aggregates — nothing shuffles
+    except the postings build."""
+    tokenized = df.select(
+        F.col(id_col), doc_tokens(df, id_col, text_col).alias("tokens")
+    )
+    scores = bm25_token_scores(tokenized, terms, k1, b, id_col, "tokens")
     return (
-        scored.groupBy(id_col)
-        .agg(*per_term)
-        .select(id_col, F.round(total, 6).alias("bm25"))
+        scores.select(id_col, F.round("bm25", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+BEST_FIELDS_WEIGHTS = (("title", 3.0), ("description", 2.0), ("body", 1.0))
+
+
+def bm25_best_fields(
+    fields: dict[str, DataFrame],
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """ES ``multi_match type=best_fields`` over BM25 (the actual Lucene
+    semantics of elasticsearch_storage.py:89-111: each field is scored with
+    its OWN BM25 — per-field df, dl, avgdl — and the document score is the
+    max of the boosted field scores, title^3 / description^2 / text^1).
+
+    ``fields`` maps the BEST_FIELDS_WEIGHTS names to (id, tokens) frames.
+    The join spine is the body-field score set: body tokens are a superset
+    of every other field here, so any doc matching anywhere matches in body
+    (asserted by the caller's construction, not re-checked)."""
+    weights = dict(BEST_FIELDS_WEIGHTS)
+    scores = {
+        name: bm25_token_scores(fdf, terms, k1, b, id_col, tokens_col)
+        .withColumnRenamed("bm25", f"_s_{name}")
+        for name, fdf in fields.items()
+    }
+    out = scores["body"]
+    for name in ("title", "description"):
+        out = out.join(scores[name], id_col, "left")
+    best = F.greatest(
+        *[
+            F.lit(weights[name]) * F.coalesce(F.col(f"_s_{name}"), F.lit(0.0))
+            for name, _ in BEST_FIELDS_WEIGHTS
+        ]
+    )
+    return (
+        out.select(id_col, F.round(best, 6).alias("best_score"))
+        .orderBy(F.desc("best_score"), F.asc(id_col))
         .limit(k)
     )
 

@@ -1219,79 +1219,132 @@ def q36(spark, sf):
     )
 
 
-@q(
-    "q37_sentiment_ratio",
-    """
-    WITH s AS (
+_Q37_LABELED = """
+    labeled AS (
       SELECT doc_id,
-             len(regexp_extract_all(lower(text), '\\b(fast|big)\\b'))  AS pos,
-             len(regexp_extract_all(lower(text), '\\b(slow|small)\\b')) AS neg
-      FROM documents)
-    SELECT doc_id,
-           round(CASE WHEN pos + neg > 0 THEN pos * 1.0 / (pos + neg) ELSE 0.5 END, 6)
-             AS overall_sentiment
-    FROM s
-    """,
-)
+             CASE WHEN pos > neg THEN 'pos'
+                  WHEN neg > pos THEN 'neg' ELSE 'neu' END AS label
+      FROM (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b(fast|big)\\b'))  AS pos,
+               len(regexp_extract_all(lower(text), '\\b(slow|small)\\b')) AS neg
+        FROM documents))
+"""
+
+
+def _make_q37_sql() -> str:
+    from .functions.nbayes import nb_oracle_cte
+
+    return f"""
+    WITH {_Q37_LABELED},
+    {nb_oracle_cte("labeled")}
+    SELECT doc_id, label AS predicted, score FROM (
+      SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM scores) WHERE rn = 1
+    """
+
+
+@q("q37_nb_sentiment", _make_q37_sql())
 def q37(spark, sf):
-    """A6 shape: positive/(total) sentiment ratio (processor.py:267-269) with
-    a deterministic lexicon stub standing in for the DistilBERT scorer (U6 is
-    a pluggable predict_batch_udf hook on a real cluster)."""
+    """U6 with a REAL training path (was: lexicon ratio stub): multinomial
+    naive Bayes sentiment fit on the corpus.  The old lexicon rule
+    (fast/big vs slow/small, processor.py:267-269's polarity shape) is now
+    only the weak-supervision LABELING function; the model itself is
+    per-(class, token) counts from ONE distributed aggregate, Laplace-
+    smoothed, log-weights quantized to integer micro-nats so per-doc scores
+    are exact integer sums.  The oracle RETRAINS the identical model in SQL
+    (same counts, same floor(1e6·ln+0.5) quantization) — bit-identical
+    (processor.py:238-287 runs DistilBERT here; same plug shape)."""
+    from .functions.nbayes import fit_nb, model_tables, nb_predict
+
     d = _t(spark, sf, "documents")
     pos = F.regexp_count(F.lower("text"), F.lit(r"\b(fast|big)\b"))
     neg = F.regexp_count(F.lower("text"), F.lit(r"\b(slow|small)\b"))
-    return d.select(
+    labeled = d.select(
         "doc_id",
-        F.round(
-            F.when(pos + neg > 0, pos * 1.0 / (pos + neg)).otherwise(0.5), 6
-        ).alias("overall_sentiment"),
+        "text",
+        F.when(pos > neg, "pos").when(neg > pos, "neg").otherwise("neu").alias("label"),
     )
+    wdf, pdf = model_tables(spark, fit_nb(labeled))
+    return nb_predict(d, wdf, pdf)
 
 
-@q(
-    "q38_topic_rank",
-    """
-    WITH t AS (
-      SELECT doc_id, topic, score,
-             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, topic ASC) AS rn
-      FROM (
-        SELECT doc_id, 'storage' AS topic,
-               CAST(len(regexp_extract_all(lower(text), '\\b(table|row|column)\\b')) AS BIGINT) AS score FROM documents
-        UNION ALL
-        SELECT doc_id, 'execution',
-               CAST(len(regexp_extract_all(lower(text), '\\b(scan|join|agg)\\b')) AS BIGINT) FROM documents
-        UNION ALL
-        SELECT doc_id, 'streaming',
-               CAST(len(regexp_extract_all(lower(text), '\\b(stream|window|batch)\\b')) AS BIGINT) FROM documents
-        UNION ALL
-        SELECT doc_id, 'performance',
-               CAST(len(regexp_extract_all(lower(text), '\\b(fast|slow|cache)\\b')) AS BIGINT) FROM documents))
-    SELECT doc_id, topic, score, rn FROM t WHERE rn <= 3
-    """,
+_Q38_TOPICS = (
+    ("execution", r"\b(scan|join|agg)\b"),
+    ("performance", r"\b(fast|slow|cache)\b"),
+    ("storage", r"\b(table|row|column)\b"),
+    ("streaming", r"\b(stream|window|batch)\b"),
 )
+
+# argmax of the 4 marker counts with alphabetical tie-break; all-zero → other
+_Q38_LABELED = """
+    labeled AS (
+      SELECT doc_id,
+             CASE WHEN c1 = 0 AND c2 = 0 AND c3 = 0 AND c4 = 0 THEN 'other'
+                  WHEN c1 >= c2 AND c1 >= c3 AND c1 >= c4 THEN 'execution'
+                  WHEN c2 >= c3 AND c2 >= c4 THEN 'performance'
+                  WHEN c3 >= c4 THEN 'storage'
+                  ELSE 'streaming' END AS label
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '\\b(scan|join|agg)\\b'))      AS c1,
+          len(regexp_extract_all(lower(text), '\\b(fast|slow|cache)\\b'))    AS c2,
+          len(regexp_extract_all(lower(text), '\\b(table|row|column)\\b'))   AS c3,
+          len(regexp_extract_all(lower(text), '\\b(stream|window|batch)\\b')) AS c4
+        FROM documents))
+"""
+
+
+def _make_q38_sql() -> str:
+    from .functions.nbayes import nb_oracle_cte
+
+    return f"""
+    WITH {_Q38_LABELED},
+    {nb_oracle_cte("labeled")}
+    SELECT doc_id, label AS topic, score, rn FROM (
+      SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM scores) WHERE rn <= 3
+    """
+
+
+@q("q38_nb_topic_rank", _make_q38_sql())
 def q38(spark, sf):
-    """W3: per-doc topic scores ranked top-3 (processor.py:402-411) with a
-    deterministic marker-count stub for the zero-shot classifier (U8)."""
+    """U8/W3 with a REAL training path (was: marker-count stub): per-doc
+    topic posterior rank from a multinomial NB fit on the corpus.  The
+    marker keyword rules (the reference's candidate_labels,
+    processor.py:368-423) are now only weak labeling functions — argmax
+    marker count, tie → alphabetical, all-zero → 'other'; the trained NB
+    then scores every (doc, topic) and the top-3 are ranked (score desc,
+    topic asc — processor.py:402-411's multi-label shape).  Same
+    integer-quantized training as q37; oracle retrains in SQL."""
+    from .functions.nbayes import fit_nb, model_tables, nb_scores
+
     d = _t(spark, sf, "documents")
-    topics = {
-        "storage": r"\b(table|row|column)\b",
-        "execution": r"\b(scan|join|agg)\b",
-        "streaming": r"\b(stream|window|batch)\b",
-        "performance": r"\b(fast|slow|cache)\b",
-    }
-    scored = None
-    for topic, pat in topics.items():
-        part = d.select(
-            "doc_id",
-            F.lit(topic).alias("topic"),
-            F.regexp_count(F.lower("text"), F.lit(pat)).cast("long").alias("score"),
-        )
-        scored = part if scored is None else scored.unionByName(part)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
+    cnts = [
+        F.regexp_count(F.lower("text"), F.lit(pat)).alias(f"c{i+1}")
+        for i, (_, pat) in enumerate(_Q38_TOPICS)
+    ]
+    base = d.select("doc_id", "text", *cnts)
+    c1, c2, c3, c4 = (F.col(f"c{i}") for i in range(1, 5))
+    label = (
+        F.when((c1 == 0) & (c2 == 0) & (c3 == 0) & (c4 == 0), "other")
+        .when((c1 >= c2) & (c1 >= c3) & (c1 >= c4), "execution")
+        .when((c2 >= c3) & (c2 >= c4), "performance")
+        .when(c3 >= c4, "storage")
+        .otherwise("streaming")
+    )
+    labeled = base.select("doc_id", "text", label.alias("label"))
+    wdf, pdf = model_tables(spark, fit_nb(labeled))
+    s = nb_scores(d, wdf, pdf)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        s.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "topic", "score", "rn")
+        .select("doc_id", F.col("label").alias("topic"), "score", "rn")
     )
 
 
@@ -1622,6 +1675,87 @@ def q46(spark, sf):
     return bm25_topk(d, terms=list(_BM25_TERMS), k=20)
 
 
+def _q54_field_chain(f: str) -> str:
+    """Per-field BM25 CTE chain (mirrors operators/search.bm25_token_scores
+    op-for-op, including the fixed-term-order conditional aggregation)."""
+    return f"""
+    idx_{f} AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ft) AS term FROM ft_{f})
+      WHERE term IN ('query', 'spark', 'table') GROUP BY doc_id, term),
+    dl_{f} AS (SELECT doc_id, CAST(len(ft) AS DOUBLE) AS dl FROM ft_{f}),
+    stats_{f} AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS BIGINT)
+               / CAST(count(*) AS BIGINT) AS avgdl
+      FROM dl_{f}),
+    dfreq_{f} AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM idx_{f} GROUP BY term),
+    scored_{f} AS (
+      SELECT idx_{f}.doc_id, idx_{f}.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl_{f}.dl / avgdl)) AS term_score
+      FROM idx_{f} JOIN dfreq_{f} ON idx_{f}.term = dfreq_{f}.term
+           JOIN dl_{f} ON idx_{f}.doc_id = dl_{f}.doc_id, stats_{f}),
+    agg_{f} AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN term = 'query' THEN term_score END), 0.0)
+           + coalesce(sum(CASE WHEN term = 'spark' THEN term_score END), 0.0)
+           + coalesce(sum(CASE WHEN term = 'table' THEN term_score END), 0.0)
+             AS s_{f}
+      FROM scored_{f} GROUP BY doc_id)"""
+
+
+@q(
+    "q54_bm25_best_fields",
+    f"""
+    WITH alltoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    ft_title AS (SELECT doc_id, t[1:5] AS ft FROM alltoks),
+    ft_description AS (SELECT doc_id, t[1:12] AS ft FROM alltoks),
+    ft_body AS (SELECT doc_id, t AS ft FROM alltoks),
+    {_q54_field_chain("title")},
+    {_q54_field_chain("description")},
+    {_q54_field_chain("body")}
+    SELECT agg_body.doc_id,
+           round(greatest(3.0 * coalesce(s_title, 0.0),
+                          2.0 * coalesce(s_description, 0.0),
+                          1.0 * coalesce(s_body, 0.0)), 6) AS best_score
+    FROM agg_body
+    LEFT JOIN agg_title USING (doc_id)
+    LEFT JOIN agg_description USING (doc_id)
+    ORDER BY best_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q54(spark, sf):
+    """T1 full ``multi_match type=best_fields`` semantics
+    (elasticsearch_storage.py:89-111): title/description/text each scored
+    with its OWN Lucene-style BM25 (per-field df, dl, avgdl) and the doc
+    score = max of boosted field scores (^3/^2/^1) — q46 scores one field,
+    q18 is the cheap TF approximation.  The driver corpus has no separate
+    title/description columns, so the fields are deterministic projections
+    of the token stream (title = first 5 tokens, description = first 12,
+    body = all) built identically on both sides; the oracle replays all
+    three BM25 pipelines + the boosted max in SQL — bit-identical."""
+    from .operators.search import bm25_best_fields, doc_tokens
+
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", doc_tokens(d).alias("tokens"))
+    fields = {
+        "title": base.select("doc_id", F.slice("tokens", 1, 5).alias("tokens")),
+        "description": base.select(
+            "doc_id", F.slice("tokens", 1, 12).alias("tokens")
+        ),
+        "body": base,
+    }
+    return bm25_best_fields(fields, list(_BM25_TERMS), k=20)
+
+
 def _make_q47_sql() -> str:
     from .operators.similarity import rademacher_planes
 
@@ -1760,6 +1894,120 @@ def q50(spark, sf):
     robots = synth.gen_robots(spark, 9)
     return apply_robots(cand, robots).select(
         "p_partkey", "host", "path", "robots_allowed"
+    )
+
+
+@q(
+    "q53_ols_embedding_rank",
+    f"""
+    WITH u AS (
+      SELECT p_partkey,
+             CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                  ELSE 'https://' || raw_url END AS url
+      FROM ({_URL_SYNTH_SQL})),
+    nemb AS (SELECT CAST(count(*) AS BIGINT) AS n_emb FROM embeddings),
+    f AS (
+      SELECT u.p_partkey, u.url,
+             CAST(length(u.url) AS BIGINT)   AS url_len,
+             CAST(u.p_partkey % 7 AS BIGINT) AS host_num,
+             CAST(floor(1000.0 * CAST(e.embedding[1] AS DOUBLE)) AS BIGINT) AS emb_q,
+             CAST(round(p.p_retailprice * 100, 0) AS BIGINT) AS y
+      FROM u
+      JOIN part p ON u.p_partkey = p.p_partkey
+      CROSS JOIN nemb
+      JOIN embeddings e ON e.vec_id = u.p_partkey % nemb.n_emb),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(url_len) AS s1, sum(host_num) AS s2, sum(emb_q) AS s3, sum(y) AS sy,
+             sum(url_len * url_len)   AS s11, sum(url_len * host_num) AS s12,
+             sum(url_len * emb_q)     AS s13, sum(host_num * host_num) AS s22,
+             sum(host_num * emb_q)    AS s23, sum(emb_q * emb_q)       AS s33,
+             sum(url_len * y) AS s1y, sum(host_num * y) AS s2y, sum(emb_q * y) AS s3y
+      FROM f),
+    -- mirror mlhooks.ols3_coeffs_from_sums op-for-op (exact integer sums →
+    -- bit-identical doubles at every step)
+    c AS (
+      SELECT s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, sy / n AS my,
+             s11 / n - (s1 / n) * (s1 / n) AS c11,
+             s12 / n - (s1 / n) * (s2 / n) AS c12,
+             s13 / n - (s1 / n) * (s3 / n) AS c13,
+             s22 / n - (s2 / n) * (s2 / n) AS c22,
+             s23 / n - (s2 / n) * (s3 / n) AS c23,
+             s33 / n - (s3 / n) * (s3 / n) AS c33,
+             s1y / n - (s1 / n) * (sy / n) AS c1y,
+             s2y / n - (s2 / n) * (sy / n) AS c2y,
+             s3y / n - (s3 / n) * (sy / n) AS c3y
+      FROM s),
+    d AS (
+      SELECT m1, m2, m3, my, c11, c12, c13, c22, c23, c33, c1y, c2y, c3y,
+             c11 * (c22 * c33 - c23 * c23)
+             - c12 * (c12 * c33 - c23 * c13)
+             + c13 * (c12 * c23 - c22 * c13) AS det
+      FROM c),
+    b AS (
+      SELECT m1, m2, m3, my,
+             (c1y * (c22 * c33 - c23 * c23)
+              - c12 * (c2y * c33 - c23 * c3y)
+              + c13 * (c2y * c23 - c22 * c3y)) / det AS b1,
+             (c11 * (c2y * c33 - c23 * c3y)
+              - c1y * (c12 * c33 - c23 * c13)
+              + c13 * (c12 * c3y - c2y * c13)) / det AS b2,
+             (c11 * (c22 * c3y - c2y * c23)
+              - c12 * (c12 * c3y - c2y * c13)
+              + c1y * (c12 * c23 - c22 * c13)) / det AS b3
+      FROM d)
+    SELECT p_partkey, url, emb_q,
+           round((((my - b1 * m1 - b2 * m2 - b3 * m3)
+                   + b1 * url_len) + b2 * host_num) + b3 * emb_q, 6) AS pred_cents
+    FROM f, b
+    """,
+)
+def q53(spark, sf):
+    """U10 extended with an EMBEDDING regressor (the reference concatenates a
+    384-d MiniLM embedding to the scalar URL features before the GBR,
+    ml/url_prioritizer.py:98,157-162): each URL keys into the embeddings
+    table (vec_id = p_partkey mod |embeddings|, the deterministic stand-in
+    for embed(url)), the first component is fixed-point-quantized
+    (floor(1000·e[0]) — exact integer), and a 3-feature closed-form OLS is
+    fit on exact integer sufficient statistics — one distributed aggregate,
+    the same 100 TB-safe shape as q42.  The oracle retrains the identical
+    model in SQL via the mirrored Cramer solve — bit-identical."""
+    from .functions.mlhooks import fit_ols3, ols3_predict_col
+    from .functions.urls import normalize_scheme
+
+    u = _url_synth_spark(spark, sf).select(
+        "p_partkey", normalize_scheme(F.col("raw_url")).alias("url")
+    )
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
+    )
+    e = _t(spark, sf, "embeddings")
+    n_emb = e.count()
+    emb_q = F.floor(
+        F.lit(1000.0) * F.element_at("embedding", 1).cast("double")
+    ).cast("long")
+    feats = (
+        u.join(p, "p_partkey")
+        .join(
+            F.broadcast(e.select(F.col("vec_id").alias("_vid"), "embedding")),
+            u["p_partkey"] % n_emb == F.col("_vid"),
+        )
+        .select(
+            "p_partkey",
+            "url",
+            F.length("url").cast("long").alias("url_len"),
+            (F.col("p_partkey") % 7).cast("long").alias("host_num"),
+            emb_q.alias("emb_q"),
+            "y",
+        )
+    )
+    coef = fit_ols3(feats, "url_len", "host_num", "emb_q", "y")
+    pred = ols3_predict_col(
+        coef, F.col("url_len"), F.col("host_num"), F.col("emb_q")
+    )
+    return feats.select(
+        "p_partkey", "url", "emb_q", F.round(pred, 6).alias("pred_cents")
     )
 
 
