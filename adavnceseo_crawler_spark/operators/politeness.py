@@ -52,6 +52,12 @@ def per_host_topk(
     )
 
 
+def _order_for(mode: str) -> list:
+    if mode == "fifo":
+        return [F.asc("seq"), F.asc("url")]
+    return [F.desc("score"), F.asc("url")]
+
+
 def schedule_batch(
     df: DataFrame,
     budget: int,
@@ -64,12 +70,38 @@ def schedule_batch(
     mode='priority' (default): score desc, url asc — the intended dequeue
     (url_frontier.py:82-88).  mode='fifo': seq asc, url asc — the live-path
     LPOP special case (url_frontier.py:240-252, SURVEY.md S3)."""
-    if mode == "fifo":
-        order = [F.asc("seq"), F.asc("url")]
-        per_host = per_host_topk_by(df, budget, salt_buckets, order)
-        return per_host.orderBy(*order).limit(batch_size)
-    per_host = per_host_topk(df, budget, salt_buckets)
-    return per_host.orderBy(F.desc("score"), F.asc("url")).limit(batch_size)
+    order = _order_for(mode)
+    per_host = per_host_topk_by(df, budget, salt_buckets, order)
+    return per_host.orderBy(*order).limit(batch_size)
+
+
+def schedule_batch_counted(
+    df: DataFrame,
+    budget: int,
+    batch_size: int,
+    salt_buckets: int = 8,
+    mode: str = "priority",
+) -> tuple[DataFrame, int, DataFrame | None]:
+    """schedule_batch that SKIPS the global cut when it cannot bind.
+
+    ``orderBy().limit(batch_size)`` plans a single-partition global sort —
+    a serial choke point measured at 14-20 s/round on the 4M-page scaling
+    shape, where the per-host budgets leave fewer eligible URLs than
+    ``batch_size`` and the cut is a no-op.  The eligible set is cached and
+    counted FIRST (the caller needs that count and the materialized cache
+    anyway); only if it exceeds ``batch_size`` does the global sort run —
+    i.e. only when it does real work.  Returns (scheduled, n_scheduled,
+    extra_cached) where ``extra_cached`` is the eligible cache to unpersist
+    at round end when the cut was applied (None otherwise).  Row set is
+    identical to schedule_batch in both branches (a k ≥ n cut is identity)."""
+    order = _order_for(mode)
+    eligible = per_host_topk_by(df, budget, salt_buckets, order).cache()
+    n_eligible = eligible.count()
+    if n_eligible <= batch_size:
+        return eligible, n_eligible, None
+    scheduled = eligible.orderBy(*order).limit(batch_size).cache()
+    scheduled.count()
+    return scheduled, batch_size, eligible
 
 
 def per_host_topk_by(

@@ -41,7 +41,7 @@ from ..functions.urls import (
 )
 from ..operators import bloom as bloomops
 from ..operators.fetch import fetch_batch
-from ..operators.politeness import schedule_batch
+from ..operators.politeness import schedule_batch_counted
 from ..operators.robotsops import apply_robots
 
 ROUND_EPOCH = _dt.datetime(2025, 6, 1, 0, 0, 0)
@@ -131,14 +131,14 @@ def run_round(
     allowed = cand.filter(F.col("robots_allowed"))
 
     # ---- politeness + priority dequeue (F4/W1) --------------------------------
-    scheduled = schedule_batch(
+    # counted variant: materializes + counts the eligible cache (needed below
+    # anyway, and the cache keeps the fetch broadcast from recomputing the
+    # politeness window chain) and skips the single-partition global sort
+    # whenever the batch cap cannot bind
+    scheduled, n_scheduled, _elig_cache = schedule_batch_counted(
         allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets,
         mode=cfg.dequeue_mode,
-    ).cache()
-    # this count also materializes the cache BEFORE the fetch broadcast
-    # builds on it (the broadcast subquery would otherwise recompute the
-    # whole politeness window chain inside the parse job)
-    n_scheduled = scheduled.count()
+    )
     tick("schedule")
     leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
 
@@ -413,11 +413,13 @@ def run_round(
             ("parsed", parsed.select([f.name for f in schemas.PARSED.fields]),
              "append", m_this)
         )
-    cat.commit_many(commits)
+    commit_walls = cat.commit_many(commits)
     tick("commits")
 
     for df in (frontier, cand, scheduled, parsed, new_log, survivors):
         df.unpersist()
+    if _elig_cache is not None:
+        _elig_cache.unpersist()
     if raw_fetch is not None:
         raw_fetch.unpersist()
 
@@ -431,5 +433,6 @@ def run_round(
         "new_urls": n_new,
         "wall_ms": wall_ms,
         "times": times,
+        "commit_walls": commit_walls,
         "done": False,
     }

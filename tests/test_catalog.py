@@ -36,3 +36,36 @@ def test_torn_manifest_invisible(tmp_catalog, spark):
 def test_missing_table(tmp_catalog):
     assert tmp_catalog.read("nope") is None
     assert not tmp_catalog.exists("nope")
+
+
+def test_commit_many_multi_table_transaction(tmp_catalog, spark):
+    """commit_many: concurrent data writes, manifests renamed in one pass;
+    append/overwrite semantics and per-table meta preserved."""
+    tmp_catalog.commit("a", spark.range(2), mode="overwrite")
+    walls = tmp_catalog.commit_many(
+        [
+            ("a", spark.range(3), "append", {"round": 7}),
+            ("b", spark.range(5), "overwrite", {"round": 7}),
+            ("c", spark.range(1), "append", None),
+        ]
+    )
+    assert set(walls) == {"a", "b", "c"}
+    assert tmp_catalog.read("a").count() == 5  # 2 + 3 appended
+    assert tmp_catalog.read("b").count() == 5
+    assert tmp_catalog.read("c").count() == 1
+    assert tmp_catalog.latest("a").meta == {"round": 7}
+    assert tmp_catalog.latest("a").snapshot_id == 1
+    assert tmp_catalog.latest("b").snapshot_id == 0
+
+
+def test_commit_manifest_only_no_data_dir(tmp_catalog, spark):
+    """Manifest-only snapshots (the per-round checkpoint) carry meta without
+    any Spark job or data dir; read() returns None; rollback still works."""
+    snap = tmp_catalog.commit_manifest_only("ckpt", meta={"round": 3})
+    assert snap.snapshot_id == 0 and snap.dirs == []
+    assert tmp_catalog.latest("ckpt").meta["round"] == 3
+    assert tmp_catalog.read("ckpt") is None
+    tmp_catalog.commit_manifest_only("ckpt", meta={"round": 4})
+    assert tmp_catalog.latest("ckpt").meta["round"] == 4
+    tmp_catalog.rollback("ckpt", 0)
+    assert tmp_catalog.latest("ckpt").meta["round"] == 3

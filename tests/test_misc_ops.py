@@ -230,3 +230,34 @@ def test_stateful_host_stats(spark, tmp_path):
     assert latest["host0"]["total_count"] == 15
     assert latest["host1"]["total_count"] == 15
     assert latest["host0"]["total_count"] + latest["host1"]["total_count"] == 30
+
+
+def test_schedule_batch_counted_equivalence(spark):
+    """schedule_batch_counted returns the identical row set as schedule_batch
+    in BOTH branches: cap binds (global cut applied) and cap slack (cut
+    skipped — the serial global sort never runs)."""
+    from adavnceseo_crawler_spark.operators.politeness import (
+        schedule_batch,
+        schedule_batch_counted,
+    )
+
+    rows = [
+        (f"https://h{i % 4}.com/p{i}", f"h{i % 4}", float(i % 13), i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, score double, seq long")
+    for batch_size in (7, 1000):  # binds / cannot bind
+        want = {
+            r["url"]
+            for r in schedule_batch(df, budget=9, batch_size=batch_size,
+                                    salt_buckets=2).collect()
+        }
+        got_df, n, extra = schedule_batch_counted(
+            df, budget=9, batch_size=batch_size, salt_buckets=2
+        )
+        got = {r["url"] for r in got_df.collect()}
+        assert got == want and n == len(want)
+        assert (extra is not None) == (batch_size == 7)
+        got_df.unpersist()
+        if extra is not None:
+            extra.unpersist()
