@@ -47,6 +47,9 @@ HEADLINE = [
     "q46_bm25_search",
     "q47_batch_ann_join",
     "q48_centroid_classifier",
+    "q37_nb_sentiment",
+    "q53_ols_embedding_rank",
+    "q54_bm25_best_fields",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
@@ -101,6 +104,85 @@ def crawl_bench(spark, cpus: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+HTTP_PAGES = int(os.environ.get("BENCH_HTTP_PAGES", "3000"))
+HTTP_HOSTS = int(os.environ.get("BENCH_HTTP_HOSTS", "50"))
+HTTP_ROUNDS = int(os.environ.get("BENCH_HTTP_ROUNDS", "2"))
+
+
+def crawl_http_bench(spark, cpus: int) -> dict:
+    """One small crawl in fetch_mode='http' against an in-process server
+    serving the same deterministic synthetic web (VERDICT r2 #7: the cluster
+    fetch path gets a throughput datapoint, not just functional tests).
+    The server extracts the page id from the URL path and renders
+    synth.html_of — byte-identical content to the synthetic-join path."""
+    import re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from adavnceseo_crawler_spark import synth
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+    from adavnceseo_crawler_spark.config import CrawlConfig
+    from adavnceseo_crawler_spark.plans import loop
+
+    pid_re = re.compile(r"(?:item-|page/)(\d+)")
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            m = pid_re.search(self.path)
+            if not m or int(m.group(1)) >= HTTP_PAGES:
+                self.send_error(404)
+                return
+            body = synth.html_of(int(m.group(1)), HTTP_PAGES, HTTP_HOSTS)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}/"
+    wh = tempfile.mkdtemp(prefix="benchhttpwh_")
+    try:
+        cfg = CrawlConfig(
+            politeness_budget=50,
+            batch_size=HTTP_PAGES,
+            max_rounds=HTTP_ROUNDS,
+            fetch_mode="http",
+            http_base_rewrite=("https://", base),
+            request_timeout=5.0,
+            http_inflight_retries=1,
+            http_retry_delay=0.05,
+        )
+        cat = SnapshotCatalog(spark, wh)
+        t0 = time.monotonic()
+        loop.bootstrap(
+            spark, cat, cfg,
+            synth.gen_seeds(spark, HTTP_PAGES, HTTP_HOSTS, n_seeds=HTTP_PAGES // 2),
+            None,
+            synth.gen_robots(spark, HTTP_HOSTS),
+        )
+        t_boot = time.monotonic() - t0
+        t1 = time.monotonic()
+        stats = loop.run_crawl(spark, cat, cfg)
+        wall = time.monotonic() - t1
+        fetched = sum(s["fetched"] for s in stats)
+        return {
+            "pages": HTTP_PAGES,
+            "rounds": len(stats),
+            "fetched": fetched,
+            "bootstrap_sec": round(t_boot, 2),
+            "wall_sec": round(wall, 2),
+            "fetched_per_sec": round(fetched / wall, 1),
+        }
+    finally:
+        srv.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -119,6 +201,8 @@ def main() -> None:
 
     crawl = crawl_bench(spark, cpus)
     timings["crawl_3rounds"] = crawl["wall_sec"]
+    crawl_http = crawl_http_bench(spark, cpus)
+    timings["crawl_http_rounds"] = crawl_http["wall_sec"]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -131,6 +215,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "crawl": crawl,
+                "crawl_http": crawl_http,
             }
         )
     )
