@@ -75,7 +75,7 @@ fetched = sum(s["fetched"] for s in stats)
 deduped = sum(s["links"] for s in stats)
 print("RESULT " + json.dumps({"cpus": cpus, "wall_sec": round(wall,2),
       "fetched": fetched, "deduped": deduped,
-      "rounds": [{k: s[k] for k in ("round","urls_in","scheduled","fetched","links","new_urls","wall_ms","times")} for s in stats],
+      "rounds": [{k: s[k] for k in ("round","urls_in","scheduled","fetched","links","new_urls","wall_ms","times","commit_walls") if k in s} for s in stats],
       "urls_per_sec": round((fetched+deduped)/wall, 1)}))
 shutil.rmtree(wh, ignore_errors=True)
 """
