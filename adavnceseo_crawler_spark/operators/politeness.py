@@ -107,6 +107,28 @@ def schedule_batch_counted(
 def per_host_topk_by(
     df: DataFrame, budget: int, salt_buckets: int, order: list
 ) -> DataFrame:
+    """Per-host top-``budget`` with BUDGET CAP ELISION: a host whose row
+    count is ≤ budget keeps all its rows, so only rows of OVER-budget hosts
+    go through the window sort.  On a Zipf frontier the over-budget set is
+    the short head (at the 4M-page scaling shape: ~150 of 8000 hosts holding
+    ~half the rows), so roughly half the shuffle-sort work vanishes while
+    the row set stays exactly per_host window-top-k (for an under-budget
+    host, top-k = identity).  The host-count aggregate is map-side
+    combinable and its output is one row per host; AQE turns the anti/semi
+    probes into broadcasts when that output is small (no explicit hint — at
+    web scale with 10^8 hosts the over-budget head may itself be too large
+    to broadcast, and AQE then keeps a shuffle join, which is the correct
+    plan there)."""
+    counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    over_hosts = counts.filter(F.col("_n") > budget).select("host")
+    under = df.join(over_hosts, "host", "left_anti")
+    over = df.join(over_hosts, "host", "left_semi")
+    return under.unionByName(_window_topk(over, budget, salt_buckets, order))
+
+
+def _window_topk(
+    df: DataFrame, budget: int, salt_buckets: int, order: list
+) -> DataFrame:
     if salt_buckets > 1:
         salted = df.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))

@@ -60,6 +60,13 @@ def search_pages(parsed: DataFrame, query: str, size: int = 10) -> DataFrame:
 # re-expression; the weighted-TF search above remains the cheap approximation)
 # ---------------------------------------------------------------------------
 def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Lowercase alnum-boundary tokens — the ES `standard` analyzer shape
+    (the index the reference queries uses the default analyzer:
+    elasticsearch_storage.py:30-52 defines no custom analyzer, and `standard`
+    = Unicode word-boundary segmentation + lowercase, NO stemming/stopwords).
+    On the [a-z0-9] corpus here the two tokenizations coincide exactly; a
+    full-Unicode corpus would swap this split pattern for `\\W+` with the
+    same plan shape."""
     return F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda w: w != F.lit("")
     )

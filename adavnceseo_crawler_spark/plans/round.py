@@ -395,6 +395,13 @@ def run_round(
     )
     m_this = {"round": round_no}
     m_next = {"round": round_no + 1}
+    # materialize the new_log cache BEFORE the commit barrier: crawl_log,
+    # url_metadata (via upd) and domain_stats all derive from it, and three
+    # concurrent write jobs hitting a COLD cache serialize on per-block
+    # cache-fill locks (measured as ~6-10 s of extra wall inside the barrier
+    # at the 4M-page scaling shape, constant in core count — the cache fill
+    # itself is a scaling job when run alone here)
+    new_log.count()
     commits: list[tuple] = [
         ("crawl_log", new_log, "append", m_this),
         ("pages", pages_out, "append", m_this),
