@@ -81,27 +81,65 @@ def schedule_batch_counted(
     batch_size: int,
     salt_buckets: int = 8,
     mode: str = "priority",
-) -> tuple[DataFrame, int, DataFrame | None]:
-    """schedule_batch that SKIPS the global cut when it cannot bind.
+) -> tuple[DataFrame, int, DataFrame, list[DataFrame]]:
+    """schedule_batch that skips the global cut when it cannot bind AND
+    returns the politeness complement for free.
 
-    ``orderBy().limit(batch_size)`` plans a single-partition global sort —
-    a serial choke point measured at 14-20 s/round on the 4M-page scaling
-    shape, where the per-host budgets leave fewer eligible URLs than
-    ``batch_size`` and the cut is a no-op.  The eligible set is cached and
-    counted FIRST (the caller needs that count and the materialized cache
-    anyway); only if it exceeds ``batch_size`` does the global sort run —
-    i.e. only when it does real work.  Returns (scheduled, n_scheduled,
-    extra_cached) where ``extra_cached`` is the eligible cache to unpersist
-    at round end when the cut was applied (None otherwise).  Row set is
-    identical to schedule_batch in both branches (a k ≥ n cut is identity)."""
+    Two serial chokepoints of the naive plan are elided:
+
+    * ``orderBy().limit(batch_size)`` plans a single-partition global sort
+      (measured 14-20 s/round at the 4M-page scaling shape); it runs only
+      when the eligible count (needed by the caller anyway) exceeds the cap.
+    * the caller's ``leftover = df ⟕̸ scheduled`` anti-join re-shuffles the
+      whole frontier inside the commit barrier (measured 12-16 s of the
+      frontier table's commit wall) — but ``df \\ scheduled`` is EXACTLY the
+      filter complement of the window ranking already computed here, so the
+      ranked intermediates are cached once and ``rejected`` is derived by
+      ``_rn > budget`` filters: zero extra shuffle.
+
+    Returns (scheduled, n_scheduled, rejected, caches): ``rejected`` is
+    ``df \\ scheduled`` in both branches (when the global cut binds, the
+    eligible-minus-batch remainder is added via an anti-join against the
+    small scheduled set), and ``caches`` are the frames for the caller to
+    unpersist at round end.  Row sets are identical to schedule_batch +
+    anti-join in both branches."""
     order = _order_for(mode)
-    eligible = per_host_topk_by(df, budget, salt_buckets, order).cache()
+    counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    over_hosts = counts.filter(F.col("_n") > budget).select("host")
+    under = df.join(over_hosts, "host", "left_anti")
+    over = df.join(over_hosts, "host", "left_semi")
+    cols = df.columns
+
+    if salt_buckets > 1:
+        salted = over.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        ranked1 = salted.withColumn("_rn1", F.row_number().over(w1)).cache()
+        drop1 = ranked1.filter(F.col("_rn1") > budget).select(*cols)
+        stage2_in = ranked1.filter(F.col("_rn1") <= budget).drop("_rn1", "_salt")
+    else:
+        ranked1 = None
+        drop1 = None
+        stage2_in = over
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked2 = stage2_in.withColumn("_rn2", F.row_number().over(w2)).cache()
+    drop2 = ranked2.filter(F.col("_rn2") > budget).select(*cols)
+    eligible_over = ranked2.filter(F.col("_rn2") <= budget).select(*cols)
+    eligible = under.unionByName(eligible_over).cache()
+    rejected = drop2 if drop1 is None else drop1.unionByName(drop2)
+
+    caches = [c for c in (ranked1, ranked2, eligible) if c is not None]
     n_eligible = eligible.count()
     if n_eligible <= batch_size:
-        return eligible, n_eligible, None
+        return eligible, n_eligible, rejected, caches
     scheduled = eligible.orderBy(*order).limit(batch_size).cache()
     scheduled.count()
-    return scheduled, batch_size, eligible
+    caches.append(scheduled)
+    rejected = rejected.unionByName(
+        eligible.join(scheduled.select("url"), "url", "left_anti")
+    )
+    return scheduled, batch_size, rejected, caches
 
 
 def per_host_topk_by(

@@ -135,12 +135,14 @@ def run_round(
     # anyway, and the cache keeps the fetch broadcast from recomputing the
     # politeness window chain) and skips the single-partition global sort
     # whenever the batch cap cannot bind
-    scheduled, n_scheduled, _elig_cache = schedule_batch_counted(
+    scheduled, n_scheduled, leftover, _sched_caches = schedule_batch_counted(
         allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets,
         mode=cfg.dequeue_mode,
     )
     tick("schedule")
-    leftover = allowed.join(scheduled.select("url"), "url", "left_anti")
+    # leftover (= allowed \ scheduled) is the politeness-window complement,
+    # derived from the scheduler's cached ranking by filter — the frontier
+    # commit no longer re-shuffles the whole frontier through an anti-join
 
     # ---- fetch (S5/J6) ---------------------------------------------------------
     # synthetic: hits = web ⋈ broadcast(scheduled): html never shuffles, parse
@@ -425,8 +427,9 @@ def run_round(
 
     for df in (frontier, cand, scheduled, parsed, new_log, survivors):
         df.unpersist()
-    if _elig_cache is not None:
-        _elig_cache.unpersist()
+    for c in _sched_caches:
+        if c is not scheduled:
+            c.unpersist()
     if raw_fetch is not None:
         raw_fetch.unpersist()
 

@@ -2080,3 +2080,190 @@ def q48(spark, sf):
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("clabel").alias("predicted"))
     )
+
+
+# =============================================================================
+# Round-3 addition: trained token-context NER tagger (U7 upgrade)
+# =============================================================================
+_NER_GAZ = ("spark", "customer", "vector", "window")
+_NER_GAZ_SQL = "('spark', 'customer', 'vector', 'window')"
+
+
+@q(
+    "q55_ner_tagger",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents),
+    occ0 AS (
+      SELECT doc_id, arr,
+             unnest(arr) AS token,
+             unnest(generate_series(1, len(arr))) AS i
+      FROM docs),
+    occ AS (
+      SELECT doc_id, i, token,
+             CASE WHEN i = 1 THEN '^' ELSE arr[i-1] END AS prev,
+             CASE WHEN i = len(arr) THEN '$' ELSE arr[i+1] END AS nxt,
+             CASE WHEN token IN {_NER_GAZ_SQL} THEN 'ENT' ELSE 'O' END AS label
+      FROM occ0),
+    events AS (
+      SELECT doc_id, i, token, label, 't:' || token AS feat FROM occ
+      UNION ALL
+      SELECT doc_id, i, token, label, 'p:' || prev AS feat FROM occ
+      UNION ALL
+      SELECT doc_id, i, token, label, 'n:' || nxt AS feat FROM occ),
+    vocab AS (SELECT DISTINCT feat FROM events),
+    vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY label),
+    ntot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cls),
+    cnts AS (
+      SELECT label, feat, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY label, feat),
+    tots AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY label),
+    weights AS (
+      SELECT c.label, v.feat,
+             CAST(floor(1e6 * ln((COALESCE(cn.cnt, 0) + 1.0)
+                                 / (t.tot + CAST(vs.v AS DOUBLE))) + 0.5) AS BIGINT) AS w
+      FROM cls c CROSS JOIN vocab v CROSS JOIN vsz vs
+      JOIN tots t ON t.label = c.label
+      LEFT JOIN cnts cn ON cn.label = c.label AND cn.feat = v.feat),
+    priors AS (
+      SELECT c.label,
+             CAST(floor(1e6 * ln(CAST(c.n AS DOUBLE) / CAST(nt.n AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS prior
+      FROM cls c CROSS JOIN ntot nt),
+    escore AS (
+      SELECT e.doc_id, e.i, e.token, w.label AS clabel,
+             CAST(sum(w.w) AS BIGINT) AS fsum
+      FROM events e JOIN weights w ON w.feat = e.feat
+      GROUP BY e.doc_id, e.i, e.token, w.label),
+    oscore AS (
+      SELECT s.doc_id, s.i, s.token,
+             max(CASE WHEN s.clabel = 'ENT' THEN s.fsum + p.prior END) AS s_ent,
+             max(CASE WHEN s.clabel = 'O'   THEN s.fsum + p.prior END) AS s_o
+      FROM escore s JOIN priors p ON p.label = s.clabel
+      GROUP BY s.doc_id, s.i, s.token)
+    SELECT doc_id, token,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(CASE WHEN s_ent >= s_o THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_ent,
+           CAST(sum(s_ent - s_o) AS BIGINT) AS margin
+    FROM oscore
+    WHERE s_ent >= s_o OR token IN {_NER_GAZ_SQL}
+    GROUP BY doc_id, token
+    """,
+)
+def q55(spark, sf):
+    """U7 with a REAL training path (was: gazetteer lookup only, q44): a
+    token-context naive-Bayes NER tagger.  The q44 gazetteer is now only the
+    weak-supervision LABELING function (ENT vs O per token occurrence); the
+    model is trained on an emission feature (the token itself) plus CONTEXT
+    features (prev/next token with ^/$ boundary sentinels) — the classic
+    NB/HMM tagger feature set — via one distributed integer-count aggregate,
+    Laplace-smoothed,
+    log-weights quantized to integer micro-nats (the q37/q48 technique) — so
+    it can tag tokens the gazetteer has never seen from their context alone,
+    which is what separates a tagger from a dictionary.  The oracle RETRAINS
+    the identical model in SQL: the Spark side derives context via
+    lag/lead windows (the shape that scales — no array duplication), the
+    DuckDB side via 1-based array indexing over a zipped unnest; both yield
+    the same (prev, next) pairs.  Output: per (doc, token) occurrence count,
+    model-predicted entity mentions, and the integer ENT-vs-O log-margin,
+    restricted to gazetteer tokens plus model-discovered entities (reference:
+    processor.py:289-366 runs spaCy+BERT NER here; same plug shape)."""
+    import math
+
+    from .functions.nbayes import doc_tokens as nb_tokens
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(nb_tokens()).alias("pos", "token")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    occ = toks.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.concat(
+            F.lit("p:"), F.coalesce(F.lag("token").over(win), F.lit("^"))
+        ).alias("f_prev"),
+        F.concat(
+            F.lit("n:"), F.coalesce(F.lead("token").over(win), F.lit("$"))
+        ).alias("f_next"),
+        F.when(F.col("token").isin(*_NER_GAZ), "ENT").otherwise("O").alias("label"),
+    )
+    events = (
+        occ.select(
+            "doc_id", "pos", "token", "label",
+            F.concat(F.lit("t:"), F.col("token")).alias("feat"),
+        )
+        .unionByName(
+            occ.select("doc_id", "pos", "token", "label", F.col("f_prev").alias("feat"))
+        )
+        .unionByName(
+            occ.select("doc_id", "pos", "token", "label", F.col("f_next").alias("feat"))
+        )
+    )
+
+    # -- fit: ONE distributed aggregate of exact integer counts ---------------
+    cw = {
+        (r["label"], r["feat"]): r["cnt"]
+        for r in events.groupBy("label", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    nocc = {
+        r["label"]: r["n"]
+        for r in occ.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    labels = sorted(nocc)
+    vocab = sorted({f for (_, f) in cw})
+    V = len(vocab)
+    n_total = sum(nocc.values())
+    tot = {c: sum(v for (cc, _), v in cw.items() if cc == c) for c in labels}
+
+    def qz(x: float) -> int:
+        return math.floor(1e6 * math.log(x) + 0.5)
+
+    wdf = spark.createDataFrame(
+        [
+            (c, f, qz((cw.get((c, f), 0) + 1.0) / (tot[c] + float(V))))
+            for c in labels
+            for f in vocab
+        ],
+        "clabel string, feat string, w long",
+    )
+    pdf = spark.createDataFrame(
+        [(c, qz(nocc[c] / n_total)) for c in labels], "clabel string, prior long"
+    )
+
+    # -- score: broadcast the model, integer sums, argmax-free margin ---------
+    esc = (
+        events.select("doc_id", "pos", "token", "feat")
+        .join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id", "pos", "token", "clabel")
+        .agg(F.sum("w").alias("fsum"))
+    )
+    osc = (
+        esc.join(F.broadcast(pdf), "clabel")
+        .groupBy("doc_id", "pos", "token")
+        .agg(
+            F.max(
+                F.when(F.col("clabel") == "ENT", F.col("fsum") + F.col("prior"))
+            ).alias("s_ent"),
+            F.max(
+                F.when(F.col("clabel") == "O", F.col("fsum") + F.col("prior"))
+            ).alias("s_o"),
+        )
+    )
+    pred_ent = F.col("s_ent") >= F.col("s_o")  # tie -> ENT (label asc)
+    return (
+        osc.filter(pred_ent | F.col("token").isin(*_NER_GAZ))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.sum(pred_ent.cast("long")).alias("n_pred_ent"),
+            F.sum(F.col("s_ent") - F.col("s_o")).alias("margin"),
+        )
+    )

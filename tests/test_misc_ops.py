@@ -234,8 +234,9 @@ def test_stateful_host_stats(spark, tmp_path):
 
 def test_schedule_batch_counted_equivalence(spark):
     """schedule_batch_counted returns the identical row set as schedule_batch
-    in BOTH branches: cap binds (global cut applied) and cap slack (cut
-    skipped — the serial global sort never runs)."""
+    in BOTH branches (cap binds / cap slack — the serial global sort never
+    runs in the slack branch), and its ``rejected`` complement is exactly
+    df \ scheduled in both."""
     from adavnceseo_crawler_spark.operators.politeness import (
         schedule_batch,
         schedule_batch_counted,
@@ -246,18 +247,20 @@ def test_schedule_batch_counted_equivalence(spark):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows, "url string, host string, score double, seq long")
+    all_urls = {r["url"] for r in df.collect()}
     for batch_size in (7, 1000):  # binds / cannot bind
         want = {
             r["url"]
             for r in schedule_batch(df, budget=9, batch_size=batch_size,
                                     salt_buckets=2).collect()
         }
-        got_df, n, extra = schedule_batch_counted(
+        got_df, n, rejected, caches = schedule_batch_counted(
             df, budget=9, batch_size=batch_size, salt_buckets=2
         )
         got = {r["url"] for r in got_df.collect()}
         assert got == want and n == len(want)
-        assert (extra is not None) == (batch_size == 7)
-        got_df.unpersist()
-        if extra is not None:
-            extra.unpersist()
+        rej = {r["url"] for r in rejected.collect()}
+        assert rej == all_urls - got  # exact complement, no overlap, no loss
+        assert rejected.columns == df.columns
+        for c in caches:
+            c.unpersist()
