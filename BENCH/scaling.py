@@ -59,7 +59,11 @@ spark = get_spark("scalebench", master=f"local[{cpus}]", shuffle_partitions=2*cp
     "spark.sql.files.maxPartitionBytes": os.environ.get("SCALE_MPB", "16m"),
   })
 cfg = CrawlConfig(politeness_budget=%(budget)d, batch_size=N_PAGES,
-                  max_rounds=ROUNDS, store_parsed=False)
+                  max_rounds=ROUNDS, store_parsed=False,
+                  # SCALE_BLOOM=1 switches dedup to the sharded-Bloom scale
+                  # path (url_seen never re-shuffled; FPR-bounded, no-FN)
+                  use_bloom=bool(int(os.environ.get("SCALE_BLOOM", "0"))),
+                  bloom_capacity=int(os.environ.get("SCALE_BLOOM_CAP", "20000000")))
 wh = tempfile.mkdtemp(prefix=f"scale{cpus}_", dir=os.environ.get("SCALE_TMP") or None)
 cat = SnapshotCatalog(spark, wh)
 shared_web = os.environ.get("SCALE_SHARED_WEB") or None

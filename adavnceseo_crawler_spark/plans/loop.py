@@ -107,10 +107,12 @@ def _checkpoint(spark: SparkSession, cat: SnapshotCatalog, round_no: int, stats:
     # number + snapshot ids), so writing it as a 1-row parquet table was a
     # whole Spark job of fixed per-round cost for nothing — nobody ever reads
     # the data, only the manifest meta (last_completed_round, rollback)
-    cat.commit_manifest_only(
-        "checkpoint",
-        meta={"round": round_no, "snapshots": snapshots, "stats": str(stats)},
-    )
+    meta = {"round": round_no, "snapshots": snapshots, "stats": str(stats)}
+    if "next_frontier_rows" in stats:
+        # next round's urls_in, observed during the frontier write — saves
+        # the per-round frontier.count() job (see round.py)
+        meta["frontier_rows"] = int(stats["next_frontier_rows"])
+    cat.commit_manifest_only("checkpoint", meta=meta)
 
 
 def last_completed_round(cat: SnapshotCatalog) -> int:
@@ -150,11 +152,14 @@ def run_crawl(
     max_rounds = max_rounds if max_rounds is not None else cfg.max_rounds
     rollback_to_checkpoint(spark, cat)
     start = last_completed_round(cat) + 1
+    ckpt = cat.latest("checkpoint")
+    hint = int(ckpt.meta["frontier_rows"]) if "frontier_rows" in ckpt.meta else None
     stats = []
     for r in range(start, max_rounds):
-        s = run_round(spark, cat, cfg, r)
+        s = run_round(spark, cat, cfg, r, urls_in_hint=hint)
         if s.get("done"):
             break
         stats.append(s)
         _checkpoint(spark, cat, r, s)
+        hint = s.get("next_frontier_rows")
     return stats

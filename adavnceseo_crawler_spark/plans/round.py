@@ -61,6 +61,7 @@ def run_round(
     cat: SnapshotCatalog,
     cfg: CrawlConfig,
     round_no: int,
+    urls_in_hint: int | None = None,
 ) -> dict:
     t0 = time.monotonic()
     now = round_ts(round_no)
@@ -76,7 +77,12 @@ def run_round(
     if frontier is None:
         return {"round": round_no, "scheduled": 0, "fetched": 0, "done": True}
     frontier = frontier.cache()
-    urls_in = frontier.count()
+    # the frontier row count is known from the PREVIOUS round's write
+    # observation (threaded through the checkpoint meta) — a standalone
+    # count() job here is pure per-round fixed cost that does not shrink
+    # with cores; it runs only when no hint exists (bootstrap, old
+    # checkpoints)
+    urls_in = urls_in_hint if urls_in_hint is not None else frontier.count()
     if urls_in == 0:
         return {"round": round_no, "scheduled": 0, "fetched": 0, "done": True}
 
@@ -329,8 +335,16 @@ def run_round(
         "seq",
         "retries",
     )
+    from pyspark.sql import Observation
+
+    # the frontier write observes its own row count — next round's urls_in
+    # rides the checkpoint for free instead of costing a count() job
+    obs_front = Observation()
     next_frontier = (
-        leftover_next.unionByName(retry).unionByName(new_entries).select(*front_cols)
+        leftover_next.unionByName(retry)
+        .unionByName(new_entries)
+        .select(*front_cols)
+        .observe(obs_front, F.count(F.lit(1)).alias("n"))
     )
 
     # ---- metrics (per-partition lineage, north_rule) --------------------------------
@@ -444,5 +458,6 @@ def run_round(
         "wall_ms": wall_ms,
         "times": times,
         "commit_walls": commit_walls,
+        "next_frontier_rows": int(obs_front.get["n"]),
         "done": False,
     }
