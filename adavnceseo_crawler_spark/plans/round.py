@@ -207,47 +207,6 @@ def run_round(
         ),
     )
 
-    # ---- crawl_log append (S11 replacement) -------------------------------------
-    log_ok = enriched.select(
-        F.lit(round_no).alias("round"),
-        "url",
-        "url_hash",
-        "host",
-        "status_code",
-        F.lit(True).alias("success"),
-        F.lit(None).cast("string").alias("error"),
-        "crawl_time",
-        "content_length",
-        "quality_score",
-        F.lit(now).alias("fetched_ts"),
-    )
-    log_fail = failed.select(
-        F.lit(round_no).alias("round"),
-        "url",
-        "url_hash",
-        "host",
-        "status_code",
-        F.lit(False).alias("success"),
-        F.lit("fetch_failed").alias("error"),
-        F.lit(None).cast("double").alias("crawl_time"),
-        F.lit(None).cast("long").alias("content_length"),
-        F.lit(None).cast("double").alias("quality_score"),
-        F.lit(now).alias("fetched_ts"),
-    )
-    log_blocked = blocked.select(
-        F.lit(round_no).alias("round"),
-        "url",
-        "url_hash",
-        "host",
-        F.lit(None).cast("int").alias("status_code"),
-        F.lit(False).alias("success"),
-        F.lit("robots_disallowed").alias("error"),
-        F.lit(None).cast("double").alias("crawl_time"),
-        F.lit(None).cast("long").alias("content_length"),
-        F.lit(None).cast("double").alias("quality_score"),
-        F.lit(now).alias("fetched_ts"),
-    )
-    new_log = log_ok.unionByName(log_fail).unionByName(log_blocked).cache()
 
     # ---- pages append (S7 replacement: engine-extracted text) --------------------
     pages_out = enriched.select(
@@ -296,6 +255,86 @@ def run_round(
     # the survivors count above also filled obs_links (new_cand feeds it)
     n_links = int(obs_links.get["n"])
     tick("dedup")
+
+    # ---- metrics (per-partition lineage, north_rule) --------------------------------
+    part_stats = (
+        parsed.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("pages_fetched"),
+            F.sum(F.octet_length("html")).alias("bytes"),
+        )
+        .collect()
+    )
+    n_fetched = sum(r["pages_fetched"] for r in part_stats)
+    n_failed = n_scheduled - n_fetched
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics_rows = [
+        (
+            round_no, int(r["partition_id"]), None, None, None,
+            int(r["pages_fetched"]), None, None, int(r["bytes"]), None,
+        )
+        for r in part_stats
+    ]
+    metrics_rows.append(
+        (
+            round_no, -1, urls_in, int(n_links - n_new), n_scheduled,
+            n_fetched, n_failed, n_links, None, wall_ms,
+        )
+    )
+    metrics_df = spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
+    tick("metrics")
+
+    # fetch-miss cap elision: n_failed is already known here, and on a round
+    # with no misses (the closed synthetic web, or an all-200 http batch) the
+    # ``failed`` plan is an anti-join that would re-shuffle the scheduled and
+    # parsed sets inside the commit barrier (via retry -> frontier and
+    # log_fail -> crawl_log) only to produce zero rows — swap in an empty
+    # frame with the identical schema instead
+    if n_failed == 0:
+        failed = spark.createDataFrame([], failed.schema)
+
+    # ---- crawl_log append (S11 replacement) -------------------------------------
+    log_ok = enriched.select(
+        F.lit(round_no).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        "status_code",
+        F.lit(True).alias("success"),
+        F.lit(None).cast("string").alias("error"),
+        "crawl_time",
+        "content_length",
+        "quality_score",
+        F.lit(now).alias("fetched_ts"),
+    )
+    log_fail = failed.select(
+        F.lit(round_no).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        "status_code",
+        F.lit(False).alias("success"),
+        F.lit("fetch_failed").alias("error"),
+        F.lit(None).cast("double").alias("crawl_time"),
+        F.lit(None).cast("long").alias("content_length"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(now).alias("fetched_ts"),
+    )
+    log_blocked = blocked.select(
+        F.lit(round_no).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        F.lit(None).cast("int").alias("status_code"),
+        F.lit(False).alias("success"),
+        F.lit("robots_disallowed").alias("error"),
+        F.lit(None).cast("double").alias("crawl_time"),
+        F.lit(None).cast("long").alias("content_length"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(now).alias("fetched_ts"),
+    )
+    new_log = log_ok.unionByName(log_fail).unionByName(log_blocked).cache()
+
 
     # ---- next frontier -------------------------------------------------------------
     front_cols = [f.name for f in schemas.FRONTIER.fields]
@@ -347,33 +386,6 @@ def run_round(
         .observe(obs_front, F.count(F.lit(1)).alias("n"))
     )
 
-    # ---- metrics (per-partition lineage, north_rule) --------------------------------
-    part_stats = (
-        parsed.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count(F.lit(1)).alias("pages_fetched"),
-            F.sum(F.octet_length("html")).alias("bytes"),
-        )
-        .collect()
-    )
-    n_fetched = sum(r["pages_fetched"] for r in part_stats)
-    n_failed = n_scheduled - n_fetched
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    metrics_rows = [
-        (
-            round_no, int(r["partition_id"]), None, None, None,
-            int(r["pages_fetched"]), None, None, int(r["bytes"]), None,
-        )
-        for r in part_stats
-    ]
-    metrics_rows.append(
-        (
-            round_no, -1, urls_in, int(n_links - n_new), n_scheduled,
-            n_fetched, n_failed, n_links, None, wall_ms,
-        )
-    )
-    metrics_df = spark.createDataFrame(metrics_rows, schemas.ROUND_METRICS)
-    tick("metrics")
 
     # ---- commits (snapshot per table, then the round checkpoint) --------------------
     # url_metadata MERGE (J7): upsert rows for every fetched/failed url,
