@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -208,6 +209,25 @@ class SnapshotCatalog:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+
+def resolve_latest(df: DataFrame, key: str, version: str) -> DataFrame:
+    """Merge-on-read resolution: latest row per ``key`` by ``version`` desc.
+
+    Iceberg/Delta MERGE with merge-on-read writes O(delta) data files per
+    commit and lets READERS reconcile row versions, with a periodic compaction
+    rewriting the base; this is that reader half for the plain-Parquet
+    catalog.  Requires ``version`` to be unique per key across live rows
+    (true for url_metadata: one row per url per round, rounds have distinct
+    timestamps)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc_nulls_last(version))
+    return (
+        df.withColumn("_v_rn", F.row_number().over(w))
+        .filter(F.col("_v_rn") == 1)
+        .drop("_v_rn")
+    )
 
 
 def merge_upsert(old: DataFrame | None, updates: DataFrame, key: str) -> DataFrame:

@@ -64,6 +64,21 @@ class CrawlConfig:
     # state are always committed
     store_parsed: bool = True
 
+    # merge-on-read maintenance interval for the mutable state tables
+    # (url_metadata, frontier).  Normal rounds commit O(delta) appends —
+    # url_metadata gains this round's upsert rows, the frontier gains
+    # adds (new links + retries) plus consumed tombstones — and readers
+    # reconcile (catalog.resolve_latest / plans.round.read_frontier).
+    # Every ``compact_every`` rounds the round's commit rewrites the
+    # compacted base instead (Iceberg's MoR + periodic rewrite_data_files
+    # shape).  1 = compact every round (the copy-on-write behavior).
+    compact_every: int = 8
+    # read-side tombstone anti-join: broadcast the consumed set while it is
+    # small (≤ this many rows, known from the checkpoint-carried count),
+    # else fall back to a shuffle join — at web scale consumed grows to
+    # compact_every × round-batch and must not be broadcast
+    consumed_broadcast_rows: int = 2_000_000
+
     user_agent: str = (
         "Mozilla/5.0 (compatible; CustomCrawler/1.0; +http://example.com/bot)"
     )

@@ -23,6 +23,10 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=1000)
     ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="merge-on-read maintenance interval: rounds between "
+                         "full rewrites of the frontier/url_metadata bases "
+                         "(1 = copy-on-write every round)")
     ap.add_argument("--synth-pages", type=int, default=0)
     ap.add_argument("--synth-hosts", type=int, default=100)
     ap.add_argument("--master", default=None)
@@ -52,6 +56,7 @@ def main() -> None:
         max_rounds=args.rounds,
         use_bloom=args.bloom,
         fetch_mode="http" if http_mode else "synthetic",
+        compact_every=args.compact_every,
     )
     cat = SnapshotCatalog(spark, args.warehouse)
 

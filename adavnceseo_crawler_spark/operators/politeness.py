@@ -81,7 +81,8 @@ def schedule_batch_counted(
     batch_size: int,
     salt_buckets: int = 8,
     mode: str = "priority",
-) -> tuple[DataFrame, int, DataFrame, list[DataFrame]]:
+    want_rejected: bool = True,
+) -> tuple[DataFrame, int, DataFrame | None, list[DataFrame]]:
     """schedule_batch that skips the global cut when it cannot bind AND
     returns the politeness complement for free.
 
@@ -102,13 +103,30 @@ def schedule_batch_counted(
     eligible-minus-batch remainder is added via an anti-join against the
     small scheduled set), and ``caches`` are the frames for the caller to
     unpersist at round end.  Row sets are identical to schedule_batch +
-    anti-join in both branches."""
+    anti-join in both branches.
+
+    ``want_rejected=False`` (merge-on-read frontier rounds, plans/round.py:
+    leftover rows simply stay un-tombstoned in the frontier base, so the
+    complement is never materialized): skips the ranked-intermediate caches
+    entirely — the over-budget half of the frontier is not pinned in executor
+    memory — and returns ``rejected=None``."""
     order = _order_for(mode)
     counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
     over_hosts = counts.filter(F.col("_n") > budget).select("host")
     under = df.join(over_hosts, "host", "left_anti")
     over = df.join(over_hosts, "host", "left_semi")
     cols = df.columns
+
+    if not want_rejected:
+        eligible = under.unionByName(
+            _window_topk(over, budget, salt_buckets, order)
+        ).cache()
+        n_eligible = eligible.count()
+        if n_eligible <= batch_size:
+            return eligible, n_eligible, None, [eligible]
+        scheduled = eligible.orderBy(*order).limit(batch_size).cache()
+        scheduled.count()
+        return scheduled, batch_size, None, [eligible, scheduled]
 
     if salt_buckets > 1:
         salted = over.withColumn(

@@ -89,13 +89,14 @@ def bootstrap(
     cat.commit_empty("url_metadata", schemas.URL_METADATA)
     cat.commit_empty("crawl_log", schemas.CRAWL_LOG)
     cat.commit_empty("domain_stats", schemas.DOMAIN_STATS)
-    _checkpoint(spark, cat, -1, {})
+    cat.commit_empty("frontier_consumed", schemas.FRONTIER_CONSUMED)
+    _checkpoint(spark, cat, -1, {"next_consumed_rows": 0})
 
 
 TABLES = (
-    "web", "robots", "frontier", "url_seen", "bloom_shards",
-    "url_metadata", "domain_stats", "crawl_log", "pages", "parsed",
-    "round_metrics",
+    "web", "robots", "frontier", "frontier_consumed", "url_seen",
+    "bloom_shards", "url_metadata", "domain_stats", "crawl_log", "pages",
+    "parsed", "round_metrics",
 )
 
 
@@ -112,6 +113,10 @@ def _checkpoint(spark: SparkSession, cat: SnapshotCatalog, round_no: int, stats:
         # next round's urls_in, observed during the frontier write — saves
         # the per-round frontier.count() job (see round.py)
         meta["frontier_rows"] = int(stats["next_frontier_rows"])
+    if stats.get("next_consumed_rows") is not None:
+        # live tombstone count for the merge-on-read frontier read: drives
+        # the broadcast-vs-shuffle choice of the consumed anti-join
+        meta["consumed_rows"] = int(stats["next_consumed_rows"])
     cat.commit_manifest_only("checkpoint", meta=meta)
 
 
@@ -154,12 +159,18 @@ def run_crawl(
     start = last_completed_round(cat) + 1
     ckpt = cat.latest("checkpoint")
     hint = int(ckpt.meta["frontier_rows"]) if "frontier_rows" in ckpt.meta else None
+    cons_hint = (
+        int(ckpt.meta["consumed_rows"]) if "consumed_rows" in ckpt.meta else None
+    )
     stats = []
     for r in range(start, max_rounds):
-        s = run_round(spark, cat, cfg, r, urls_in_hint=hint)
+        s = run_round(
+            spark, cat, cfg, r, urls_in_hint=hint, consumed_rows_hint=cons_hint
+        )
         if s.get("done"):
             break
         stats.append(s)
         _checkpoint(spark, cat, r, s)
         hint = s.get("next_frontier_rows")
+        cons_hint = s.get("next_consumed_rows")
     return stats

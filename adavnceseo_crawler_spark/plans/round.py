@@ -11,7 +11,9 @@ with a batch dataflow per round:
            ── parse (mapInPandas ParsedPage extraction)
            ── appends: pages / parsed / crawl_log / url_seen / round_metrics
            ── link discovery → canonicalize → hygiene filter → dedup
-           ── next frontier (leftover ∪ retries ∪ new links), overwrite commit
+           ── frontier maintenance, merge-on-read: append adds (new links ∪
+              retries) + consumed tombstones; every cfg.compact_every rounds
+              rewrite the compacted base (leftover ∪ adds) instead
 
 Every ordering carries the total tie-break (score desc, url asc); the round
 clock is a deterministic function of the round number — no wall-clock inside
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..catalog import SnapshotCatalog
+from ..catalog import SnapshotCatalog, merge_upsert, resolve_latest
 from ..config import CrawlConfig
 from ..functions import scoring
 from ..functions.htmlparse import parse_pages
@@ -56,12 +58,48 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def read_frontier(
+    cat: SnapshotCatalog,
+    cfg: CrawlConfig | None = None,
+    consumed_rows_hint: int | None = None,
+) -> DataFrame | None:
+    """Resolved (live) frontier view under merge-on-read maintenance.
+
+    The committed ``frontier`` table is append-mostly: normal rounds append
+    only adds (new links + retries) while dequeued/blocked entries are
+    tombstoned by (url_hash, enqueue-round) appends to ``frontier_consumed``;
+    the live frontier is ``base ⟕̸ consumed``.  Every cfg.compact_every
+    rounds the commit rewrites the compacted base and empties the tombstones
+    (run_round), so the anti-join's right side is bounded by compact_every ×
+    round-batch.  While the checkpoint-carried tombstone count is small the
+    consumed side is broadcast (a hash-set probe, no shuffle of the base);
+    past cfg.consumed_broadcast_rows it falls back to a shuffle join — at
+    web scale the tombstone set cannot be broadcast."""
+    base = cat.read("frontier")
+    if base is None:
+        return None
+    if consumed_rows_hint == 0:
+        return base
+    cons = cat.read("frontier_consumed")
+    if cons is None:
+        return base
+    cons = cons.select("url_hash", "round")
+    if (
+        cfg is not None
+        and consumed_rows_hint is not None
+        and consumed_rows_hint <= cfg.consumed_broadcast_rows
+    ):
+        cons = F.broadcast(cons)
+    return base.join(cons, ["url_hash", "round"], "left_anti")
+
+
 def run_round(
     spark: SparkSession,
     cat: SnapshotCatalog,
     cfg: CrawlConfig,
     round_no: int,
     urls_in_hint: int | None = None,
+    consumed_rows_hint: int | None = None,
 ) -> dict:
     t0 = time.monotonic()
     now = round_ts(round_no)
@@ -73,10 +111,14 @@ def run_round(
         times[label] = round(times.get(label, 0.0) + (t - _last[0]), 3)
         _last[0] = t
 
-    frontier = cat.read("frontier")
+    frontier = read_frontier(cat, cfg, consumed_rows_hint)
     if frontier is None:
         return {"round": round_no, "scheduled": 0, "fetched": 0, "done": True}
     frontier = frontier.cache()
+    # merge-on-read maintenance boundary: on a compact round this round's
+    # commit rewrites the compacted url_metadata/frontier bases (the old
+    # copy-on-write behavior); on normal rounds it appends O(delta) only
+    compact = cfg.compact_every <= 1 or (round_no + 1) % cfg.compact_every == 0
     # the frontier row count is known from the PREVIOUS round's write
     # observation (threaded through the checkpoint meta) — a standalone
     # count() job here is pure per-round fixed cost that does not shrink
@@ -92,11 +134,21 @@ def run_round(
     web = cat.read("web") if cfg.fetch_mode == "synthetic" else None
 
     # ---- enrich + score (J3, J4, U9) ----------------------------------------
-    # url_metadata is maintained LATEST-PER-KEY (compacted at commit below),
-    # so the enrich join reads it as-is — per-round cost is O(|distinct
-    # urls|), constant in round number, never a growing-history rescan
+    # url_metadata is maintained merge-on-read: a compacted base plus ≤
+    # compact_every per-round delta appends.  The enrich path needs only the
+    # freshest last_crawled per key, so the reader-side reconcile is a
+    # map-side-combinable max aggregate — and because the aggregate's output
+    # partitioning (url_hash) is exactly the join key, Catalyst reuses the
+    # exchange: same single shuffle of the metadata as the compacted-table
+    # join had.  Cost stays O(|distinct urls|), never a growing-history
+    # rescan (bounded by base + compact_every deltas).
+    meta_latest = (
+        meta.select("url_hash", "last_crawled")
+        .groupBy("url_hash")
+        .agg(F.max("last_crawled").alias("last_crawled"))
+    )
     cand = (
-        frontier.join(meta.select("url_hash", "last_crawled"), "url_hash", "left")
+        frontier.join(meta_latest, "url_hash", "left")
         .join(
             F.broadcast(
                 dstats.select(
@@ -141,14 +193,15 @@ def run_round(
     # anyway, and the cache keeps the fetch broadcast from recomputing the
     # politeness window chain) and skips the single-partition global sort
     # whenever the batch cap cannot bind
+    # the politeness complement (leftover) is only materialized on compact
+    # rounds, where the frontier base is rewritten in full; normal MoR rounds
+    # leave un-dequeued rows in place (no tombstone) so the scheduler skips
+    # the ranked-intermediate caches entirely (want_rejected=False)
     scheduled, n_scheduled, leftover, _sched_caches = schedule_batch_counted(
         allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets,
-        mode=cfg.dequeue_mode,
+        mode=cfg.dequeue_mode, want_rejected=compact,
     )
     tick("schedule")
-    # leftover (= allowed \ scheduled) is the politeness-window complement,
-    # derived from the scheduler's cached ranking by filter — the frontier
-    # commit no longer re-shuffles the whole frontier through an anti-join
 
     # ---- fetch (S5/J6) ---------------------------------------------------------
     # synthetic: hits = web ⋈ broadcast(scheduled): html never shuffles, parse
@@ -363,36 +416,12 @@ def run_round(
             (F.col("retries") + 1).alias("retries"),
         )
     )
-    leftover_next = leftover.select(
-        F.lit(round_no + 1).alias("round"),
-        "url",
-        "url_hash",
-        "host",
-        "depth",
-        F.lit(None).cast("double").alias("score"),
-        "discovered_ts",
-        "seq",
-        "retries",
-    )
-    from pyspark.sql import Observation
-
-    # the frontier write observes its own row count — next round's urls_in
-    # rides the checkpoint for free instead of costing a count() job
-    obs_front = Observation()
-    next_frontier = (
-        leftover_next.unionByName(retry)
-        .unionByName(new_entries)
-        .select(*front_cols)
-        .observe(obs_front, F.count(F.lit(1)).alias("n"))
-    )
-
-
     # ---- commits (snapshot per table, then the round checkpoint) --------------------
-    # url_metadata MERGE (J7): upsert rows for every fetched/failed url,
-    # committed as the COMPACTED latest-per-key table (anti-join ∪ updates —
-    # on Iceberg this is a native row-level MERGE whose write cost is
-    # O(delta); the round-1 append-only + per-round groupBy(max) rescan grew
-    # with total history and is gone)
+    # url_metadata MERGE (J7): upsert rows for every fetched/failed url.
+    # Merge-on-read: normal rounds APPEND only this round's upsert rows
+    # (O(delta) write — the shape of an Iceberg MoR MERGE, whose data files
+    # are delta-sized and whose reconciliation lives in the reader); compact
+    # rounds rewrite the latest-per-key base (rewrite_data_files).
     upd = (
         new_log.filter(F.col("error").isNull() | (F.col("error") != "robots_disallowed"))
         .select(
@@ -410,17 +439,12 @@ def run_round(
         dstats if cat.exists("domain_stats") else None, new_log
     ).withColumn("content_type_count", F.lit(None).cast("int"))
 
-    # the 8 table commits form ONE multi-table transaction (catalog.commit_many):
+    # the table commits form ONE multi-table transaction (catalog.commit_many):
     # data dirs are written as concurrent Spark jobs, then every manifest is
     # renamed in a single driver-side pass — the round pays one commit
     # barrier, not eight, and no new snapshot is visible until all data
     # writes have landed. The checkpoint manifest (loop.py) is still written
     # strictly after this returns.
-    from ..catalog import merge_upsert
-
-    meta_compacted = merge_upsert(
-        meta if cat.exists("url_metadata") else None, upd, "url_hash"
-    )
     m_this = {"round": round_no}
     m_next = {"round": round_no + 1}
     # materialize the new_log cache BEFORE the commit barrier: crawl_log,
@@ -436,11 +460,9 @@ def run_round(
         ("url_seen",
          survivors.select("url_hash", "url", F.lit(round_no + 1).alias("round")),
          "append", m_this),
-        ("url_metadata", meta_compacted, "overwrite", m_this),
         ("domain_stats",
          dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
          "overwrite", m_this),
-        ("frontier", next_frontier, "overwrite", m_next),
         ("round_metrics", metrics_df, "append", m_this),
     ]
     if cfg.store_parsed:
@@ -448,8 +470,75 @@ def run_round(
             ("parsed", parsed.select([f.name for f in schemas.PARSED.fields]),
              "append", m_this)
         )
+
+    adds = retry.unionByName(new_entries).select(*front_cols)
+    obs_front = Observation()
+    obs_adds = Observation()
+    obs_cons = Observation()
+    if compact:
+        # ---- compact round: rewrite both MoR bases (copy-on-write shape) ----
+        # next frontier = (live frontier \ this round's dequeue) ∪ adds; the
+        # live-minus-dequeued part is exactly the scheduler's complement.
+        # Observed row count rides the checkpoint as next round's urls_in.
+        leftover_next = leftover.select(
+            F.lit(round_no + 1).alias("round"),
+            "url",
+            "url_hash",
+            "host",
+            "depth",
+            F.lit(None).cast("double").alias("score"),
+            "discovered_ts",
+            "seq",
+            "retries",
+        )
+        next_frontier = (
+            leftover_next.unionByName(adds)
+            .select(*front_cols)
+            .observe(obs_front, F.count(F.lit(1)).alias("n"))
+        )
+        meta_compacted = resolve_latest(
+            meta.unionByName(upd), "url_hash", "last_crawled"
+        )
+        commits += [
+            ("url_metadata", meta_compacted, "overwrite", m_this),
+            ("frontier", next_frontier, "overwrite", m_next),
+            ("frontier_consumed", _empty(spark, schemas.FRONTIER_CONSUMED),
+             "overwrite", m_next),
+        ]
+    else:
+        # ---- normal round: O(delta) appends only -----------------------------
+        # frontier gains adds; dequeued (scheduled) and robots-blocked rows
+        # are tombstoned by (url_hash, enqueue-round) — un-dequeued rows are
+        # simply left in place, so the politeness complement (the bulk of the
+        # old full rewrite) is never recomputed, never rewritten.  Next
+        # round's urls_in = urls_in - consumed + adds, all observed on writes
+        # that run anyway.
+        consumed = (
+            scheduled.select("url_hash", "round")
+            .unionByName(blocked.select("url_hash", "round"))
+            .observe(obs_cons, F.count(F.lit(1)).alias("n"))
+        )
+        commits += [
+            ("url_metadata", upd, "append", m_this),
+            ("frontier",
+             adds.observe(obs_adds, F.count(F.lit(1)).alias("n")),
+             "append", m_next),
+            ("frontier_consumed", consumed, "append", m_next),
+        ]
     commit_walls = cat.commit_many(commits)
     tick("commits")
+
+    if compact:
+        next_frontier_rows = int(obs_front.get["n"])
+        next_consumed_rows = 0
+    else:
+        n_consumed = int(obs_cons.get["n"])
+        next_frontier_rows = urls_in - n_consumed + int(obs_adds.get["n"])
+        next_consumed_rows = (
+            consumed_rows_hint + n_consumed
+            if consumed_rows_hint is not None
+            else None
+        )
 
     for df in (frontier, cand, scheduled, parsed, new_log, survivors):
         df.unpersist()
@@ -470,6 +559,8 @@ def run_round(
         "wall_ms": wall_ms,
         "times": times,
         "commit_walls": commit_walls,
-        "next_frontier_rows": int(obs_front.get["n"]),
+        "next_frontier_rows": next_frontier_rows,
+        "next_consumed_rows": next_consumed_rows,
+        "compacted": compact,
         "done": False,
     }

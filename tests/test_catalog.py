@@ -69,3 +69,61 @@ def test_commit_manifest_only_no_data_dir(tmp_catalog, spark):
     assert tmp_catalog.latest("ckpt").meta["round"] == 4
     tmp_catalog.rollback("ckpt", 0)
     assert tmp_catalog.latest("ckpt").meta["round"] == 3
+
+
+def test_resolve_latest_merge_on_read(tmp_catalog, spark):
+    """MoR reader half: base + delta appends resolve to latest-per-key."""
+    from adavnceseo_crawler_spark.catalog import resolve_latest
+
+    base = spark.createDataFrame(
+        [("k1", 1, "a"), ("k2", 1, "b")], "k string, v int, payload string"
+    )
+    tmp_catalog.commit("t", base, mode="overwrite")
+    d1 = spark.createDataFrame([("k1", 2, "a2")], "k string, v int, payload string")
+    d2 = spark.createDataFrame(
+        [("k1", 3, "a3"), ("k3", 1, "c")], "k string, v int, payload string"
+    )
+    tmp_catalog.commit("t", d1, mode="append")
+    tmp_catalog.commit("t", d2, mode="append")
+    got = {
+        r["k"]: (r["v"], r["payload"])
+        for r in resolve_latest(tmp_catalog.read("t"), "k", "v").collect()
+    }
+    assert got == {"k1": (3, "a3"), "k2": (1, "b"), "k3": (1, "c")}
+
+
+def test_read_frontier_tombstone_anti_join(tmp_catalog, spark):
+    """MoR frontier view: base \\ consumed on (url_hash, round) — a retry
+    row re-added at a later round survives its earlier tombstone."""
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.config import CrawlConfig
+    from adavnceseo_crawler_spark.plans.round import read_frontier, round_ts
+
+    def frow(rnd, url, h):
+        return (rnd, url, h, "hostx", 0, None, round_ts(rnd), rnd, 0)
+
+    base = spark.createDataFrame(
+        [frow(0, "https://hostx/a", "ha"), frow(0, "https://hostx/b", "hb")],
+        schemas.FRONTIER,
+    )
+    tmp_catalog.commit("frontier", base, mode="overwrite")
+    # round 0 dequeues /a; /a fails and is retried -> re-added at round 1
+    tmp_catalog.commit(
+        "frontier_consumed",
+        spark.createDataFrame([("ha", 0)], schemas.FRONTIER_CONSUMED),
+        mode="append",
+    )
+    tmp_catalog.commit(
+        "frontier",
+        spark.createDataFrame([frow(1, "https://hostx/a", "ha")], schemas.FRONTIER),
+        mode="append",
+    )
+    cfg = CrawlConfig()
+    live = {
+        (r["url_hash"], r["round"])
+        for r in read_frontier(tmp_catalog, cfg, consumed_rows_hint=1).collect()
+    }
+    assert live == {("hb", 0), ("ha", 1)}
+    # hint=0 short-circuits the anti-join entirely (returns base as-is)
+    raw = read_frontier(tmp_catalog, cfg, consumed_rows_hint=0).count()
+    assert raw == 3

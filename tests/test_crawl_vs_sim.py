@@ -11,11 +11,18 @@ from pyspark.sql import functions as F
 from adavnceseo_crawler_spark import synth
 from adavnceseo_crawler_spark.config import CrawlConfig
 from adavnceseo_crawler_spark.plans import loop as crawl_loop
+from adavnceseo_crawler_spark.plans.round import read_frontier
 
 import reference_sim as sim
 
 N_PAGES, N_HOSTS = 400, 10
-CFG = CrawlConfig(politeness_budget=3, batch_size=40, max_rounds=5, max_retries=3)
+# compact_every=3 puts a merge-on-read compaction (round 2) in the middle of
+# the parity window, so the sim comparison covers both the O(delta)-append
+# rounds and the base-rewrite round
+CFG = CrawlConfig(
+    politeness_budget=3, batch_size=40, max_rounds=5, max_retries=3,
+    compact_every=3,
+)
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +69,7 @@ def test_final_frontier_matches(engine_run, sim_run):
     cat, _ = engine_run
     eng = {
         r["url"]: r["depth"]
-        for r in cat.read("frontier").select("url", "depth").collect()
+        for r in read_frontier(cat).select("url", "depth").collect()
     }
     exp = {u: st["depth"] for u, st in sim_run.frontier.items()}
     assert eng == exp

@@ -200,22 +200,29 @@ def test_full_crawl_rounds_over_http(spark, http_server, tmp_path):
     texts = {r["url"]: r["text"] for r in cat.read("pages").collect()}
     assert "body of /hosta/page/1" in texts["https://hosta/page/1"]
 
-    # url_metadata is compacted latest-per-key: rows == distinct url_hash
-    meta = cat.read("url_metadata")
+    # url_metadata is merge-on-read: the RESOLVED view is latest-per-key
+    from adavnceseo_crawler_spark.catalog import resolve_latest
+
+    meta = resolve_latest(cat.read("url_metadata"), "url_hash", "last_crawled")
     assert meta.count() == meta.select("url_hash").distinct().count()
 
 
 def test_url_metadata_compaction_constant_size(spark, tmp_path):
-    """Re-crawling the same URLs across rounds must NOT grow url_metadata:
-    the committed table is latest-per-key (merge_upsert overwrite), so its
-    row count equals the number of distinct urls ever attempted and the
-    per-round read cost is constant in round number."""
+    """url_metadata under merge-on-read must not grow without bound: normal
+    rounds append O(delta) rows, and a compact round (cfg.compact_every)
+    rewrites the latest-per-key base — after it, physical rows equal the
+    number of distinct urls ever attempted, so the per-round read cost is
+    bounded by base + compact_every deltas, constant in round number."""
     from adavnceseo_crawler_spark import synth
     from adavnceseo_crawler_spark.catalog import SnapshotCatalog
     from adavnceseo_crawler_spark.config import CrawlConfig
     from adavnceseo_crawler_spark.plans import loop
 
-    cfg = CrawlConfig(politeness_budget=3, batch_size=30, max_rounds=4)
+    # compact_every=2 with 4 rounds: rounds 1 and 3 compact; the run ends on
+    # a freshly-compacted base so the physical row count is exactly distinct
+    cfg = CrawlConfig(
+        politeness_budget=3, batch_size=30, max_rounds=4, compact_every=2
+    )
     cat = SnapshotCatalog(spark, str(tmp_path / "compwh"))
     loop.bootstrap(
         spark, cat, cfg,

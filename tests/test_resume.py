@@ -8,9 +8,12 @@ from adavnceseo_crawler_spark import synth
 from adavnceseo_crawler_spark.catalog import SnapshotCatalog
 from adavnceseo_crawler_spark.config import CrawlConfig
 from adavnceseo_crawler_spark.plans import loop
+from adavnceseo_crawler_spark.plans.round import read_frontier
 
 N_PAGES, N_HOSTS = 300, 8
-CFG = CrawlConfig(politeness_budget=3, batch_size=30, max_rounds=6)
+# compact_every=2: rounds 1/3/5 rewrite the merge-on-read bases, so the
+# kill-at-3 resume below replays across both append rounds and compactions
+CFG = CrawlConfig(politeness_budget=3, batch_size=30, max_rounds=6, compact_every=2)
 
 
 def _bootstrap(spark, root):
@@ -32,7 +35,7 @@ def _snapshot_state(cat):
     )
     frontier = sorted(
         (r["url"], r["depth"], r["retries"])
-        for r in cat.read("frontier").select("url", "depth", "retries").collect()
+        for r in read_frontier(cat).select("url", "depth", "retries").collect()
     )
     seen = sorted(r["url"] for r in cat.read("url_seen").select("url").collect())
     texts = sorted(
