@@ -72,6 +72,57 @@ def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+# ---------------------------------------------------------------------------
+# "english"-analyzer variant (ES `english` analyzer ≈ standard tokenizer +
+# stopword removal + stemming).  The reference's index uses the default
+# `standard` analyzer (elasticsearch_storage.py:30-52), but ES exposes the
+# english analyzer as a one-line index setting, so the search surface offers
+# both.  The stemmer is a fixed 6-rule suffix chain (a Porter step-1 subset)
+# chosen to be expressible IDENTICALLY as JVM regexp chains and as DuckDB SQL
+# so the oracle replays it bit-for-bit; en_stem_py is the required-equal
+# Python mirror used to stem query terms (tested in test_misc_ops).
+# ---------------------------------------------------------------------------
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "but", "in", "on", "at", "to")
+
+_EN_STEM_RULES = (
+    ("sses$", "ss", 0),   # caresses -> caress
+    ("ies$", "i", 0),     # queries -> queri
+    ("([^s])s$", "$1", 0),  # tables -> table (ss kept)
+    ("ing$", "", 5),      # searching -> search (only len > 5)
+    ("ed$", "", 4),       # crawled -> crawl (only len > 4)
+    ("([a-z])y$", "$1i", 3),  # query -> queri (unifies with ies-stems)
+)
+
+
+def en_stem(c: Column) -> Column:
+    for pat, repl, min_len in _EN_STEM_RULES:
+        stepped = F.regexp_replace(c, pat, repl)
+        c = stepped if min_len == 0 else F.when(
+            F.length(c) > min_len, stepped
+        ).otherwise(c)
+    return c
+
+
+def en_stem_py(t: str) -> str:
+    """Mirror of en_stem for driver-side query terms (must stay rule-for-rule
+    identical — the equality is unit-tested)."""
+    for pat, repl, min_len in _EN_STEM_RULES:
+        if min_len == 0 or len(t) > min_len:
+            t = re.sub(pat, repl.replace("$1", r"\1"), t)
+    return t
+
+
+def doc_tokens_en(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Standard tokens → drop stopwords → stem.  dl (token count) is taken
+    AFTER stopword removal, matching Lucene (stopwords don't count toward
+    field length; stemming never changes the count)."""
+    raw = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda w: (w != F.lit("")) & ~w.isin(*EN_STOPWORDS),
+    )
+    return F.transform(raw, en_stem)
+
+
 def inverted_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -164,15 +215,20 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """BM25 top-k: idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) summed over
     query terms, idf = ln(1 + (N-df+0.5)/(df+0.5)) (Lucene's formulation).
 
+    analyzer='standard' (default, the reference's index setting) or
+    'english' (stopwords + stemming; pass PRE-STEMMED terms via en_stem_py).
+
     Dataflow: postings filtered to the query terms (tiny), joined to per-doc
     lengths; N/avgdl/df are scalar/broadcast aggregates — nothing shuffles
     except the postings build."""
+    tok_fn = doc_tokens_en if analyzer == "english" else doc_tokens
     tokenized = df.select(
-        F.col(id_col), doc_tokens(df, id_col, text_col).alias("tokens")
+        F.col(id_col), tok_fn(df, id_col, text_col).alias("tokens")
     )
     scores = bm25_token_scores(tokenized, terms, k1, b, id_col, "tokens")
     return (

@@ -2267,3 +2267,84 @@ def q55(spark, sf):
             F.sum(F.col("s_ent") - F.col("s_o")).alias("margin"),
         )
     )
+
+
+# =============================================================================
+# T1 analyzer fidelity: BM25 under the ES `english` analyzer (stopword
+# removal + suffix stemming).  The reference's index uses the default
+# `standard` analyzer (q46); english is ES's one-line index-setting upgrade,
+# and the query here uses INFLECTED terms (queries/tables/sparks) that match
+# the corpus' base forms only through the stem chain — the match set is empty
+# under q46's analyzer, non-trivial under this one.  The oracle replays the
+# identical 6-rule chain (operators/search._EN_STEM_RULES) as SQL CTEs.
+# =============================================================================
+_BM25_EN_QUERY = ("queries", "sparks", "tables")
+
+
+def _bm25_en_terms() -> list[str]:
+    from .operators.search import en_stem_py
+
+    return sorted({en_stem_py(t) for t in _BM25_EN_QUERY})
+
+
+_EN_TOKCOL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '' AND x NOT IN "
+    "('the','a','an','and','or','but','in','on','at','to'))"
+)
+
+@q(
+    "q56_bm25_english_analyzer",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, unnest({_EN_TOKCOL}) AS t FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(t, 'sses$', 'ss') AS t FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(t, 'ies$', 'i') AS t FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '([^s])s$', '\\1') AS t FROM s2),
+    s4 AS (SELECT doc_id, CASE WHEN length(t) > 5
+                 THEN regexp_replace(t, 'ing$', '') ELSE t END AS t FROM s3),
+    s5 AS (SELECT doc_id, CASE WHEN length(t) > 4
+                 THEN regexp_replace(t, 'ed$', '') ELSE t END AS t FROM s4),
+    toks AS (SELECT doc_id, CASE WHEN length(t) > 3
+                 THEN regexp_replace(t, '([a-z])y$', '\\1i') ELSE t END AS term
+             FROM s5),
+    idx AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('queri', 'spark', 'table')
+      GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id, CAST(len({_EN_TOKCOL}) AS DOUBLE) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avgdl
+      FROM dl),
+    dfreq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM idx GROUP BY term),
+    scored AS (
+      SELECT idx.doc_id, idx.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS term_score
+      FROM idx JOIN dfreq ON idx.term = dfreq.term
+               JOIN dl ON idx.doc_id = dl.doc_id, stats),
+    agg AS (
+      SELECT doc_id,
+             sum(CASE WHEN term = 'queri' THEN term_score END) AS s0,
+             sum(CASE WHEN term = 'spark' THEN term_score END) AS s1,
+             sum(CASE WHEN term = 'table' THEN term_score END) AS s2
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id,
+           round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS bm25
+    FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q56(spark, sf):
+    """T1 analyzer option: BM25 with the english analyzer — inflected query
+    terms are stemmed driver-side (en_stem_py), document tokens are stemmed
+    in the JVM (en_stem regexp chain), and Lucene's field-length norm counts
+    post-stopword tokens (doc_tokens_en).  Same exact-integer avgdl and
+    fixed-term-order summation as q46 keep doubles bit-identical."""
+    from .operators.search import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, terms=_bm25_en_terms(), k=20, analyzer="english")

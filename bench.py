@@ -50,6 +50,7 @@ HEADLINE = [
     "q37_nb_sentiment",
     "q53_ols_embedding_rank",
     "q54_bm25_best_fields",
+    "q56_bm25_english_analyzer",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

@@ -264,3 +264,44 @@ def test_schedule_batch_counted_equivalence(spark):
         assert rejected.columns == df.columns
         for c in caches:
             c.unpersist()
+
+
+def test_en_stem_column_matches_python_mirror(spark):
+    """en_stem (JVM regexp chain) and en_stem_py (driver-side query-term
+    stemmer) must be rule-for-rule identical — q56 stems documents with the
+    former and query terms with the latter."""
+    from adavnceseo_crawler_spark.operators.search import en_stem, en_stem_py
+
+    words = [
+        "queries", "sparks", "tables", "query", "table", "spark", "caresses",
+        "ponies", "caress", "cats", "searching", "sing", "crawled", "bed",
+        "key", "day", "y", "ss", "s", "pass", "tries", "going", "feed",
+        "agreed", "plastered", "motoring", "happy", "sky", "analysis",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"] for r in df.select("w", en_stem(F.col("w")).alias("s")).collect()}
+    for w in words:
+        assert got[w] == en_stem_py(w), (w, got[w], en_stem_py(w))
+
+
+def test_bm25_english_analyzer_matches_stemmed_docs(spark):
+    """Inflected query terms match base-form documents only through the
+    english analyzer: the standard-analyzer match set is empty."""
+    from adavnceseo_crawler_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the query planner joins a table"),
+            (2, "spark table and query engine"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id int, text string",
+    )
+    std = bm25_topk(docs, terms=["queries", "tables", "sparks"], k=5)
+    assert std.count() == 0
+    from adavnceseo_crawler_spark.operators.search import en_stem_py
+
+    terms = sorted({en_stem_py(t) for t in ("queries", "tables", "sparks")})
+    en = bm25_topk(docs, terms=terms, k=5, analyzer="english")
+    rows = {r["doc_id"]: r["bm25"] for r in en.collect()}
+    assert set(rows) == {1, 2} and all(v > 0 for v in rows.values())
