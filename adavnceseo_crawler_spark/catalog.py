@@ -137,6 +137,76 @@ class SnapshotCatalog:
             self._write_manifest(table, snap)
         return walls
 
+    def commit_many_async(
+        self,
+        commits: list[tuple[str, DataFrame, str, dict[str, Any] | None]],
+        unpersist: list[DataFrame] | None = None,
+    ) -> dict:
+        """Write-behind half of the round's commit pipeline: start the data
+        writes as background Spark jobs and return immediately with a handle.
+        NOTHING becomes visible until ``commit_settle`` writes the manifests —
+        a crash before settle leaves only orphaned snap dirs that no manifest
+        references (invisible to readers, clobbered on replay by the
+        overwrite-mode data write).
+
+        Used by plans/round.py for the tables the next round does not read
+        until its dedup stage (crawl_log, pages, url_seen, parsed,
+        round_metrics): their writes overlap the next round's schedule stage,
+        which is driver-latency-bound and leaves executor cores idle — the
+        commit barrier's core-hungry jobs fill exactly that gap.  Snapshot
+        ids are assigned here (the tables are disjoint from any concurrently
+        committed sync table), so the eventual checkpoint meta is already
+        determined.  ``unpersist``: cached frames the writes read; released
+        at settle."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        staged: dict[str, Snapshot] = {}
+        walls: dict[str, float] = {}
+
+        def _write(c) -> None:
+            table, df, mode, meta = c
+            t0 = time.monotonic()
+            prev = self.latest(table)
+            sid = (prev.snapshot_id + 1) if prev else 0
+            data_dir = os.path.join(self._tdir(table), f"snap-{sid:06d}")
+            df.write.mode("overwrite").parquet(data_dir)
+            dirs = (
+                [data_dir]
+                if mode == "overwrite"
+                else (prev.dirs if prev else []) + [data_dir]
+            )
+            staged[table] = Snapshot(sid, mode, dirs, meta or {})
+            walls[table] = round(time.monotonic() - t0, 3)
+
+        pool = ThreadPoolExecutor(max_workers=len(commits))
+        futures = [pool.submit(_write, c) for c in commits]
+        return {
+            "pool": pool,
+            "futures": futures,
+            "staged": staged,
+            "walls": walls,
+            "unpersist": list(unpersist or []),
+        }
+
+    def commit_settle(self, handle: dict) -> dict[str, float]:
+        """Barrier for a commit_many_async handle: wait for the data writes,
+        make every staged snapshot visible (one manifest rename each), then
+        release the caches the writes were reading.  Must run before anything
+        reads the deferred tables — plans/round.py places it at the start of
+        the next round's dedup stage (the first url_seen read)."""
+        for f in handle["futures"]:
+            f.result()  # re-raises a failed write before any manifest lands
+        handle["pool"].shutdown(wait=True)
+        for table, snap in handle["staged"].items():
+            self._write_manifest(table, snap)
+        for df in handle["unpersist"]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return handle["walls"]
+
     def commit_manifest_only(
         self, table: str, meta: dict[str, Any] | None = None
     ) -> Snapshot:

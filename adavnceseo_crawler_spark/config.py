@@ -73,11 +73,15 @@ class CrawlConfig:
     # compacted base instead (Iceberg's MoR + periodic rewrite_data_files
     # shape).  1 = compact every round (the copy-on-write behavior).
     compact_every: int = 8
-    # read-side tombstone anti-join: broadcast the consumed set while it is
-    # small (≤ this many rows, known from the checkpoint-carried count),
-    # else fall back to a shuffle join — at web scale consumed grows to
-    # compact_every × round-batch and must not be broadcast
-    consumed_broadcast_rows: int = 2_000_000
+    # read-side tombstone anti-join: broadcast the consumed set only while it
+    # is genuinely small (≤ this many rows, known from the checkpoint-carried
+    # count), else take the shuffle join.  The broadcast build is
+    # driver-serial — measured ~10 s flat at 1.5M tombstones REGARDLESS of
+    # core count (BENCH/BASELINE.md round-3 decomposition), exactly the kind
+    # of fixed cost the scaling criterion punishes — while the shuffle path
+    # distributes; and at web scale consumed grows to compact_every ×
+    # round-batch and could never be broadcast anyway
+    consumed_broadcast_rows: int = 100_000
 
     user_agent: str = (
         "Mozilla/5.0 (compatible; CustomCrawler/1.0; +http://example.com/bot)"

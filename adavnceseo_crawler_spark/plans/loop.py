@@ -163,14 +163,36 @@ def run_crawl(
         int(ckpt.meta["consumed_rows"]) if "consumed_rows" in ckpt.meta else None
     )
     stats = []
+    # write-behind pipeline, one round deep: round r's bulky appends flush
+    # while round r+1's schedule stage runs; round r's CHECKPOINT is written
+    # only at settle (inside round r+1, before the first deferred-table
+    # read), so a crash anywhere before that replays round r from the r-1
+    # checkpoint — the unsettled writes were never manifest-visible
+    pending: tuple | None = None  # (round_no, stats_dict, handle)
+
+    def _settle() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        p_round, p_stats, handle = pending
+        p_stats["deferred_commit_walls"] = cat.commit_settle(handle)
+        _checkpoint(spark, cat, p_round, p_stats)
+        pending = None
+
     for r in range(start, max_rounds):
         s = run_round(
-            spark, cat, cfg, r, urls_in_hint=hint, consumed_rows_hint=cons_hint
+            spark, cat, cfg, r, urls_in_hint=hint, consumed_rows_hint=cons_hint,
+            on_barrier=_settle,
         )
         if s.get("done"):
             break
+        handle = s.pop("pending", None)
         stats.append(s)
-        _checkpoint(spark, cat, r, s)
+        if handle is None:
+            _checkpoint(spark, cat, r, s)
+        else:
+            pending = (r, s, handle)
         hint = s.get("next_frontier_rows")
         cons_hint = s.get("next_consumed_rows")
+    _settle()
     return stats

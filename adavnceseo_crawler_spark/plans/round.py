@@ -100,6 +100,7 @@ def run_round(
     round_no: int,
     urls_in_hint: int | None = None,
     consumed_rows_hint: int | None = None,
+    on_barrier=None,
 ) -> dict:
     t0 = time.monotonic()
     now = round_ts(round_no)
@@ -291,6 +292,14 @@ def run_round(
     )
     tick("fetch_parse_links")
 
+    # settle the PREVIOUS round's write-behind commits (loop.py closure:
+    # manifest flips + its checkpoint) — this is the first point that reads a
+    # deferred table (url_seen / bloom_shards), and everything above ran
+    # concurrently with those writes
+    if on_barrier is not None:
+        on_barrier()
+        tick("settle_prev")
+
     if cfg.use_bloom:
         params = bloomops.BloomParams(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_buckets)
         shards = cat.read("bloom_shards")
@@ -454,22 +463,32 @@ def run_round(
     # at the 4M-page scaling shape, constant in core count — the cache fill
     # itself is a scaling job when run alone here)
     new_log.count()
-    commits: list[tuple] = [
+    # two-group commit pipeline: the SYNC group is exactly what the next
+    # round reads before its dedup stage (frontier state, url_metadata,
+    # domain_stats — all O(delta) under merge-on-read); the DEFERRED group
+    # (crawl_log, pages, url_seen, parsed, round_metrics) is handed to
+    # commit_many_async and flushes while the next round's schedule stage
+    # runs — its driver-latency waits leave cores idle, which the deferred
+    # write jobs fill.  Visibility still flips atomically at settle, before
+    # the first deferred-table read.
+    deferred: list[tuple] = [
         ("crawl_log", new_log, "append", m_this),
         ("pages", pages_out, "append", m_this),
         ("url_seen",
          survivors.select("url_hash", "url", F.lit(round_no + 1).alias("round")),
          "append", m_this),
-        ("domain_stats",
-         dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
-         "overwrite", m_this),
         ("round_metrics", metrics_df, "append", m_this),
     ]
     if cfg.store_parsed:
-        commits.append(
+        deferred.append(
             ("parsed", parsed.select([f.name for f in schemas.PARSED.fields]),
              "append", m_this)
         )
+    commits: list[tuple] = [
+        ("domain_stats",
+         dstats_new.select([f.name for f in schemas.DOMAIN_STATS.fields]),
+         "overwrite", m_this),
+    ]
 
     adds = retry.unionByName(new_entries).select(*front_cols)
     obs_front = Observation()
@@ -526,6 +545,13 @@ def run_round(
             ("frontier_consumed", consumed, "append", m_next),
         ]
     commit_walls = cat.commit_many(commits)
+    # hand the bulky appends to the write-behind pipeline; the round's caches
+    # are released when it settles (their lineage backs the deferred writes)
+    caches = [frontier, cand, scheduled, parsed, new_log, survivors]
+    caches += [c for c in _sched_caches if c is not scheduled]
+    if raw_fetch is not None:
+        caches.append(raw_fetch)
+    pending = cat.commit_many_async(deferred, unpersist=caches)
     tick("commits")
 
     if compact:
@@ -539,14 +565,6 @@ def run_round(
             if consumed_rows_hint is not None
             else None
         )
-
-    for df in (frontier, cand, scheduled, parsed, new_log, survivors):
-        df.unpersist()
-    for c in _sched_caches:
-        if c is not scheduled:
-            c.unpersist()
-    if raw_fetch is not None:
-        raw_fetch.unpersist()
 
     return {
         "round": round_no,
@@ -562,5 +580,6 @@ def run_round(
         "next_frontier_rows": next_frontier_rows,
         "next_consumed_rows": next_consumed_rows,
         "compacted": compact,
+        "pending": pending,
         "done": False,
     }
