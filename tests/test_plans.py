@@ -144,3 +144,56 @@ def test_bm25_term_filter_pushed_below_aggregate(spark):
     assert ok, "term filter is not between the aggregate and the parquet scan"
     # and the aggregate itself is still present above it
     assert any("Aggregate" in ln for ln in lines[: term_filter_idxs[0]])
+
+
+def test_frontier_tombstone_join_broadcast_vs_shuffle(spark, tmp_path):
+    """The MoR frontier read broadcasts the consumed tombstones only while
+    the checkpoint-carried count is genuinely small; past the threshold it
+    must take the distributed shuffle anti-join — the broadcast build is
+    driver-serial and was measured as a flat ~10s at 1.5M tombstones
+    regardless of core count (BENCH/BASELINE.md round-3 decomposition)."""
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+    from adavnceseo_crawler_spark.config import CrawlConfig
+    from adavnceseo_crawler_spark.plans.round import read_frontier, round_ts
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "tswh"))
+    base = spark.createDataFrame(
+        [(0, f"https://h/{i}", f"h{i}", "h", 0, None, round_ts(0), 0, 0)
+         for i in range(50)],
+        schemas.FRONTIER,
+    )
+    cat.commit("frontier", base, mode="overwrite")
+    cat.commit(
+        "frontier_consumed",
+        spark.createDataFrame([(f"h{i}", 0) for i in range(10)],
+                              schemas.FRONTIER_CONSUMED),
+        mode="append",
+    )
+    cfg = CrawlConfig()  # consumed_broadcast_rows = 100_000
+    bcast = read_frontier(cat, cfg, consumed_rows_hint=10)
+    plan_b = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b, plan_b
+    # the fixture is tiny, so Catalyst's size-based auto-broadcast would mask
+    # the hint decision — disable it to observe the above-threshold plan
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = read_frontier(
+            cat, cfg, consumed_rows_hint=cfg.consumed_broadcast_rows + 1
+        )
+        plan_s = shuf._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    assert "BroadcastHashJoin" not in plan_s, plan_s
+    # single-key partitioning: the tombstone join must key on url_hash only,
+    # never on (url_hash, round) — that compound key forced a second full
+    # shuffle of the frontier base before the url_hash enrich join
+    assert "hashpartitioning(url_hash" in plan_s, plan_s
+    for part in plan_s.split("hashpartitioning(")[1:]:
+        assert ", round#" not in part.split(")")[0], plan_s
+    # row sets identical either way; the retry row re-added at round 1
+    # survives its round-0 tombstone
+    rows_b = sorted((r["url_hash"], r["round"]) for r in bcast.collect())
+    rows_s = sorted((r["url_hash"], r["round"]) for r in shuf.collect())
+    assert rows_b == rows_s
