@@ -179,12 +179,29 @@ def main() -> None:
 
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     probes: list[dict] = []
+    memprobes: list[dict] = []
+
+    def _memprobe() -> None:
+        # STREAM-style bandwidth snapshot bracketing each measurement: the
+        # CPU probe is register-only and blind to a neighbor hammering the
+        # memory bus — the dominant noise source observed on this host
+        # (bandwidth swings 0.2-35 GB/s second-to-second in bad windows)
+        import memprobe as mp
+
+        res = {str(n): mp.run(n) for n in (lo, hi)}
+        res["efficiency"] = round(res[str(hi)] / (res[str(lo)] * (hi / lo)), 3)
+        memprobes.append(res)
+        print(json.dumps({"mem_probe": res}), flush=True)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     for _ in range(repeats):
         for cpus in (lo, hi):
             probes.append(cpu_probe(lo, hi))
             print(json.dumps({"cpu_probe": probes[-1]}), flush=True)
+            _memprobe()
             runs[cpus].append(run_level(cpus, pages, hosts, rounds, seeds, budget))
             print(json.dumps(runs[cpus][-1]), flush=True)
+    _memprobe()
 
     best_lo = min(runs[lo], key=lambda r: r["wall_sec"])
     best_hi = min(runs[hi], key=lambda r: r["wall_sec"])
@@ -198,6 +215,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "all_walls": {c: [r["wall_sec"] for r in rs] for c, rs in runs.items()},
         "cpu_probes": probes,
+        "mem_probes": memprobes,
     }
     print(json.dumps(result))
     # raw result lands in a JSON next to the hand-authored analysis
