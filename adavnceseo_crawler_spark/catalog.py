@@ -270,6 +270,41 @@ class SnapshotCatalog:
         return self.latest(table) is not None
 
     # -- maintenance -------------------------------------------------------------
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Iceberg expire_snapshots: drop all but the newest ``keep_last``
+        manifests, then delete data dirs no kept snapshot references.
+        Append snapshots share dirs with their successors, so liveness is
+        computed over the KEPT manifests' dir lists."""
+        snaps = self.snapshots(table)
+        if len(snaps) <= keep_last:
+            return 0
+        kept = snaps[-keep_last:]
+        live = {d for s in kept for d in s.dirs}
+        mandir = self._mandir(table)
+        for s in snaps[:-keep_last]:
+            try:
+                os.remove(os.path.join(mandir, f"{s.snapshot_id:06d}.json"))
+            except OSError:
+                pass
+        return self.vacuum(table, _live=live)
+
+    def vacuum(self, table: str, _live: set[str] | None = None) -> int:
+        """Iceberg remove_orphan_files: delete snap-* data dirs that no
+        manifest references — crashed write-behind commits (commit_many_async
+        without settle) and rolled-back rounds leave exactly these."""
+        tdir = self._tdir(table)
+        if not os.path.isdir(tdir):
+            return 0
+        if _live is None:
+            _live = {d for s in self.snapshots(table) for d in s.dirs}
+        removed = 0
+        for name in os.listdir(tdir):
+            path = os.path.join(tdir, name)
+            if name.startswith("snap-") and os.path.isdir(path) and path not in _live:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        return removed
+
     def rollback(self, table: str, snapshot_id: int) -> None:
         """Drop manifests newer than snapshot_id (time travel back)."""
         mandir = self._mandir(table)

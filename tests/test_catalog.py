@@ -127,3 +127,36 @@ def test_read_frontier_tombstone_anti_join(tmp_catalog, spark):
     # hint=0 short-circuits the anti-join entirely (returns base as-is)
     raw = read_frontier(tmp_catalog, cfg, consumed_rows_hint=0).count()
     assert raw == 3
+
+
+def test_vacuum_and_expire_snapshots(tmp_catalog, spark):
+    """vacuum removes orphan snap dirs (crashed write-behind commits);
+    expire_snapshots keeps the newest manifests and only deletes data dirs
+    no kept snapshot references (append snapshots share dirs)."""
+    import os
+
+    df1 = spark.createDataFrame([(1,)], "v int")
+    df2 = spark.createDataFrame([(2,)], "v int")
+    df3 = spark.createDataFrame([(3,)], "v int")
+    tmp_catalog.commit("t", df1, mode="overwrite")   # snap 0
+    tmp_catalog.commit("t", df2, mode="append")      # snap 1 (dirs 0+1)
+    tmp_catalog.commit("t", df3, mode="append")      # snap 2 (dirs 0+1+2)
+    tdir = tmp_catalog._tdir("t")
+    # simulate a crashed unsettled write-behind commit: orphan dir, no manifest
+    orphan = os.path.join(tdir, "snap-000009")
+    df1.write.mode("overwrite").parquet(orphan)
+    assert tmp_catalog.vacuum("t") == 1
+    assert not os.path.isdir(orphan)
+    assert tmp_catalog.read("t").count() == 3  # live data untouched
+
+    # expire to the latest snapshot only: snaps 0/1 manifests go, but their
+    # shared data dirs stay live through snap 2's dir list
+    assert tmp_catalog.expire_snapshots("t", keep_last=1) == 0
+    assert [s.snapshot_id for s in tmp_catalog.snapshots("t")] == [2]
+    assert tmp_catalog.read("t").count() == 3
+
+    # an overwrite then expire: the pre-overwrite dirs become dead
+    tmp_catalog.commit("t", df1, mode="overwrite")   # snap 3 (own dir only)
+    removed = tmp_catalog.expire_snapshots("t", keep_last=1)
+    assert removed == 3  # snaps 0,1,2's dirs all dead now
+    assert tmp_catalog.read("t").count() == 1
