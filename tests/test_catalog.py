@@ -160,3 +160,33 @@ def test_vacuum_and_expire_snapshots(tmp_catalog, spark):
     removed = tmp_catalog.expire_snapshots("t", keep_last=1)
     assert removed == 3  # snaps 0,1,2's dirs all dead now
     assert tmp_catalog.read("t").count() == 1
+
+
+def test_unsettled_write_behind_is_invisible(tmp_catalog, spark):
+    """A crash between commit_many_async and commit_settle must leave the
+    table exactly as before: data dirs exist but no manifest references
+    them, a fresh catalog reads the old snapshot, and vacuum reclaims the
+    orphans.  (This is the write-behind pipeline's durability contract.)"""
+    import os
+
+    base = spark.createDataFrame([(1,), (2,)], "v int")
+    tmp_catalog.commit("t", base, mode="overwrite")
+    handle = tmp_catalog.commit_many_async(
+        [("t", spark.createDataFrame([(3,)], "v int"), "append", {"round": 1})]
+    )
+    for f in handle["futures"]:  # writes land...
+        f.result()
+    # ...but the process "dies" before commit_settle: no manifest flip
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+
+    fresh = SnapshotCatalog(spark, tmp_catalog.root)
+    assert fresh.read("t").count() == 2          # old snapshot intact
+    assert fresh.latest("t").snapshot_id == 0
+    orphan = os.path.join(fresh._tdir("t"), "snap-000001")
+    assert os.path.isdir(orphan)                 # orphaned data dir
+    assert fresh.vacuum("t") == 1                # reclaimed
+    assert not os.path.isdir(orphan)
+    # and settling AFTER the fact on the original handle would still work in
+    # a live process — but here the orphan is gone, so just re-commit
+    fresh.commit("t", spark.createDataFrame([(3,)], "v int"), mode="append")
+    assert fresh.read("t").count() == 3
