@@ -45,6 +45,9 @@ class SnapshotCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # outstanding commit_many_async handles not yet settled; vacuum
+        # refuses to touch higher-than-manifest snap dirs while nonzero
+        self._unsettled = 0
         os.makedirs(root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------------
@@ -181,6 +184,12 @@ class SnapshotCatalog:
 
         pool = ThreadPoolExecutor(max_workers=len(commits))
         futures = [pool.submit(_write, c) for c in commits]
+        # every task is already running (max_workers == len(commits)), so the
+        # pool can stop accepting work now; its threads then exit as tasks
+        # finish even if settle is never reached (exception mid-round) — no
+        # leaked executor.  commit_settle's shutdown(wait=True) still joins.
+        pool.shutdown(wait=False)
+        self._unsettled += 1
         return {
             "pool": pool,
             "futures": futures,
@@ -195,9 +204,14 @@ class SnapshotCatalog:
         release the caches the writes were reading.  Must run before anything
         reads the deferred tables — plans/round.py places it at the start of
         the next round's dedup stage (the first url_seen read)."""
-        for f in handle["futures"]:
-            f.result()  # re-raises a failed write before any manifest lands
-        handle["pool"].shutdown(wait=True)
+        try:
+            for f in handle["futures"]:
+                f.result()  # re-raises a failed write before any manifest lands
+        finally:
+            # join writer threads even when a write failed, so no thread
+            # outlives the (aborted) settle; either way the handle is spent
+            handle["pool"].shutdown(wait=True)
+            self._unsettled = max(0, self._unsettled - 1)
         for table, snap in handle["staged"].items():
             self._write_manifest(table, snap)
         for df in handle["unpersist"]:
@@ -291,18 +305,44 @@ class SnapshotCatalog:
     def vacuum(self, table: str, _live: set[str] | None = None) -> int:
         """Iceberg remove_orphan_files: delete snap-* data dirs that no
         manifest references — crashed write-behind commits (commit_many_async
-        without settle) and rolled-back rounds leave exactly these."""
+        without settle) and rolled-back rounds leave exactly these.
+
+        Safety rails (both destructive-maintenance hazards):
+        * liveness compares ``os.path.realpath`` on both sides, so opening
+          the catalog under a different spelling of the same warehouse root
+          (relative vs absolute, ``./`` prefix, symlink, other cwd) can never
+          make live dirs read as orphans;
+        * while THIS catalog instance has an unsettled commit_many_async
+          handle, dirs whose snapshot id is newer than the latest manifest
+          are skipped — they are that handle's staged writes, and deleting
+          them would let the settle publish manifests pointing at removed
+          paths.  With no unsettled handle, higher-sid dirs are true crash
+          orphans and are reclaimed.  (Cross-process: only run vacuum when
+          no OTHER process is mid-pipeline on the same warehouse — staged
+          dirs of a foreign writer are indistinguishable from orphans.)"""
         tdir = self._tdir(table)
         if not os.path.isdir(tdir):
             return 0
         if _live is None:
             _live = {d for s in self.snapshots(table) for d in s.dirs}
+        live_real = {os.path.realpath(d) for d in _live}
+        latest = self.latest(table)
+        latest_sid = latest.snapshot_id if latest else -1
         removed = 0
         for name in os.listdir(tdir):
             path = os.path.join(tdir, name)
-            if name.startswith("snap-") and os.path.isdir(path) and path not in _live:
-                shutil.rmtree(path, ignore_errors=True)
-                removed += 1
+            if not (name.startswith("snap-") and os.path.isdir(path)):
+                continue
+            try:
+                sid = int(name[len("snap-"):])
+            except ValueError:
+                continue
+            if sid > latest_sid and self._unsettled > 0:
+                continue  # in-flight (staged, pre-settle) — not an orphan
+            if os.path.realpath(path) in live_real:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
         return removed
 
     def rollback(self, table: str, snapshot_id: int) -> None:

@@ -74,24 +74,55 @@ def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
 
 # ---------------------------------------------------------------------------
 # "english"-analyzer variant (ES `english` analyzer ≈ standard tokenizer +
-# stopword removal + stemming).  The reference's index uses the default
-# `standard` analyzer (elasticsearch_storage.py:30-52), but ES exposes the
-# english analyzer as a one-line index setting, so the search surface offers
-# both.  The stemmer is a fixed 6-rule suffix chain (a Porter step-1 subset)
-# chosen to be expressible IDENTICALLY as JVM regexp chains and as DuckDB SQL
-# so the oracle replays it bit-for-bit; en_stem_py is the required-equal
-# Python mirror used to stem query terms (tested in test_misc_ops).
+# stopword removal + possessive stripping + stemming).  The reference's index
+# uses the default `standard` analyzer (elasticsearch_storage.py:30-52), but
+# ES exposes the english analyzer as a one-line index setting, so the search
+# surface offers both.  The stemmer is a fixed suffix-rule chain (Porter
+# step-1 incl. possessives / eed->ee / y-rule; length guards stand in for
+# Porter's measure>0 / contains-vowel conditions) chosen to be expressible
+# IDENTICALLY as JVM regexp chains and as DuckDB SQL — the q56 oracle CTEs
+# are GENERATED from this same table (en_stem_sql_ctes), so an edit here can
+# never desync engine and oracle; en_stem_py is the required-equal Python
+# mirror used to stem query terms (tested in test_misc_ops).
 # ---------------------------------------------------------------------------
 EN_STOPWORDS = ("the", "a", "an", "and", "or", "but", "in", "on", "at", "to")
 
 _EN_STEM_RULES = (
-    ("sses$", "ss", 0),   # caresses -> caress
+    ("'s$", "", 0),       # possessive: dog's -> dog  (english tokenizer
+    ("'+$", "", 0),       # keeps apostrophes; trailing/leading bare quotes
+    ("^'+", "", 0),       # stripped like Lucene's possessive filter)
+    ("sses$", "ss", 0),   # caresses -> caress          (step 1a)
     ("ies$", "i", 0),     # queries -> queri
     ("([^s])s$", "$1", 0),  # tables -> table (ss kept)
+    ("eed$", "ee", 5),    # agreed -> agree, speed kept (step 1b, m>0 guard)
     ("ing$", "", 5),      # searching -> search (only len > 5)
-    ("ed$", "", 4),       # crawled -> crawl (only len > 4)
+    ("([^e])ed$", "$1", 4),  # crawled -> crawl (len > 4; eed words are
+                          # step-1b's EED rule's alone — Porter's
+                          # longest-suffix precedence, so speed/feed kept)
     ("([a-z])y$", "$1i", 3),  # query -> queri (unifies with ies-stems)
 )
+
+
+def en_stem_sql_ctes(first_cte: str = "raw", token_col: str = "t") -> str:
+    """DuckDB CTE chain replaying _EN_STEM_RULES rule-for-rule — the oracle
+    half of the analyzer, derived from the SAME table the JVM chain uses.
+    Returns 's1 AS (...), ..., toks AS (...)' with the final column named
+    ``term``."""
+    ctes = []
+    prev = first_cte
+    n = len(_EN_STEM_RULES)
+    for i, (pat, repl, min_len) in enumerate(_EN_STEM_RULES):
+        name = "toks" if i == n - 1 else f"s{i + 1}"
+        out = "term" if i == n - 1 else token_col
+        sql_repl = repl.replace("$1", "\\1").replace("'", "''")
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({token_col}, '{sql_pat}', '{sql_repl}')"
+        if min_len:
+            expr = (f"CASE WHEN length({token_col}) > {min_len} "
+                    f"THEN {expr} ELSE {token_col} END")
+        ctes.append(f"{name} AS (SELECT doc_id, {expr} AS {out} FROM {prev})")
+        prev = name
+    return ",\n    ".join(ctes)
 
 
 def en_stem(c: Column) -> Column:
@@ -113,11 +144,13 @@ def en_stem_py(t: str) -> str:
 
 
 def doc_tokens_en(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
-    """Standard tokens → drop stopwords → stem.  dl (token count) is taken
-    AFTER stopword removal, matching Lucene (stopwords don't count toward
-    field length; stemming never changes the count)."""
+    """English tokens (apostrophes kept in-token so possessives reach the
+    stemmer, as with Lucene's standard tokenizer + possessive filter) → drop
+    stopwords → stem.  dl (token count) is taken AFTER stopword removal,
+    matching Lucene (stopwords don't count toward field length; stemming
+    never changes the count)."""
     raw = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9']+"),
         lambda w: (w != F.lit("")) & ~w.isin(*EN_STOPWORDS),
     )
     return F.transform(raw, en_stem)

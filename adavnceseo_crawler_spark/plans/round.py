@@ -563,13 +563,23 @@ def run_round(
             ("frontier_consumed", consumed, "append", m_next),
         ]
     commit_walls = cat.commit_many(commits)
-    # hand the bulky appends to the write-behind pipeline; the round's caches
-    # are released when it settles (their lineage backs the deferred writes)
-    caches = [frontier, cand, scheduled, parsed, new_log, survivors]
-    caches += [c for c in _sched_caches if c is not scheduled]
+    # hand the bulky appends to the write-behind pipeline.  Caches split two
+    # ways: frames whose lineage backs a deferred write (parsed → pages,
+    # new_log → crawl_log, survivors → url_seen, raw_fetch under parsed)
+    # stay pinned until settle; everything upstream of the SYNC group only
+    # (frontier, cand, scheduled + scheduler intermediates) is released
+    # right here — commit_many already consumed them, and keeping full-HTML
+    # frames pinned an extra round doubles peak cache footprint for nothing.
+    deferred_caches = [parsed, new_log, survivors]
     if raw_fetch is not None:
-        caches.append(raw_fetch)
-    pending = cat.commit_many_async(deferred, unpersist=caches)
+        deferred_caches.append(raw_fetch)
+    pending = cat.commit_many_async(deferred, unpersist=deferred_caches)
+    for df in (frontier, cand, scheduled,
+               *(c for c in _sched_caches if c is not scheduled)):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     tick("commits")
 
     if compact:

@@ -2288,29 +2288,34 @@ def _bm25_en_terms() -> list[str]:
 
 
 _EN_TOKCOL = (
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
     "x -> x <> '' AND x NOT IN "
     "('the','a','an','and','or','but','in','on','at','to'))"
 )
 
-@q(
-    "q56_bm25_english_analyzer",
-    f"""
+
+def _make_q56_sql() -> str:
+    """q56 oracle DERIVED from the engine's own analyzer definition
+    (ADVICE r3): the stemming CTE chain replays _EN_STEM_RULES via
+    en_stem_sql_ctes, and the query-term list is _bm25_en_terms() — an edit
+    to either the rules or the query string can no longer desync engine and
+    oracle."""
+    from .operators.search import en_stem_sql_ctes
+
+    terms = _bm25_en_terms()  # already sorted — the engine's summation order
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    cases = ",\n             ".join(
+        f"sum(CASE WHEN term = '{t}' THEN term_score END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"coalesce(s{i}, 0.0)" for i in range(len(terms)))
+    return f"""
     WITH raw AS (
       SELECT doc_id, unnest({_EN_TOKCOL}) AS t FROM documents),
-    s1 AS (SELECT doc_id, regexp_replace(t, 'sses$', 'ss') AS t FROM raw),
-    s2 AS (SELECT doc_id, regexp_replace(t, 'ies$', 'i') AS t FROM s1),
-    s3 AS (SELECT doc_id, regexp_replace(t, '([^s])s$', '\\1') AS t FROM s2),
-    s4 AS (SELECT doc_id, CASE WHEN length(t) > 5
-                 THEN regexp_replace(t, 'ing$', '') ELSE t END AS t FROM s3),
-    s5 AS (SELECT doc_id, CASE WHEN length(t) > 4
-                 THEN regexp_replace(t, 'ed$', '') ELSE t END AS t FROM s4),
-    toks AS (SELECT doc_id, CASE WHEN length(t) > 3
-                 THEN regexp_replace(t, '([a-z])y$', '\\1i') ELSE t END AS term
-             FROM s5),
+    {en_stem_sql_ctes()},
     idx AS (
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-      FROM toks WHERE term IN ('queri', 'spark', 'table')
+      FROM toks WHERE term IN ({in_list})
       GROUP BY doc_id, term),
     dl AS (
       SELECT doc_id, CAST(len({_EN_TOKCOL}) AS DOUBLE) AS dl FROM documents),
@@ -2329,15 +2334,15 @@ _EN_TOKCOL = (
                JOIN dl ON idx.doc_id = dl.doc_id, stats),
     agg AS (
       SELECT doc_id,
-             sum(CASE WHEN term = 'queri' THEN term_score END) AS s0,
-             sum(CASE WHEN term = 'spark' THEN term_score END) AS s1,
-             sum(CASE WHEN term = 'table' THEN term_score END) AS s2
+             {cases}
       FROM scored GROUP BY doc_id)
     SELECT doc_id,
-           round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS bm25
+           round({total}, 6) AS bm25
     FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT 20
-    """,
-)
+    """
+
+
+@q("q56_bm25_english_analyzer", _make_q56_sql())
 def q56(spark, sf):
     """T1 analyzer option: BM25 with the english analyzer — inflected query
     terms are stemmed driver-side (en_stem_py), document tokens are stemmed
@@ -2348,3 +2353,36 @@ def q56(spark, sf):
 
     d = _t(spark, sf, "documents")
     return bm25_topk(d, terms=_bm25_en_terms(), k=20, analyzer="english")
+
+
+# =============================================================================
+# Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
+# CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
+# order; with 54 registered, four fall outside.  Put the newest,
+# least-driver-proven queries first and push the four TPC-H-style demo
+# queries (whose operator families are redundantly evidenced: A1/A2 by
+# q05/q06, A3/O3's sort+limit shape by q06/q12/q36, W4 by q36, generic
+# join/agg by the whole crawl surface) past the window — they keep full
+# local-oracle coverage via tests/test_queries_oracle.py.
+# =============================================================================
+_WINDOW_HEAD = [
+    "q48_centroid_classifier",
+    "q53_ols_embedding_rank",
+    "q55_ner_tagger",
+    "q56_bm25_english_analyzer",
+]
+_WINDOW_TAIL = [
+    "q01_pricing_summary",
+    "q02_top_sources",
+    "q03_revenue_by_nation",
+    "q04_topk_orders_per_customer",
+]
+
+
+def _window_order(d: dict) -> dict:
+    mid = [k for k in d if k not in _WINDOW_HEAD and k not in _WINDOW_TAIL]
+    return {k: d[k] for k in [*_WINDOW_HEAD, *mid, *_WINDOW_TAIL] if k in d}
+
+
+QUERIES = _window_order(QUERIES)
+ORACLES = _window_order(ORACLES)

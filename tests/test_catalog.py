@@ -190,3 +190,42 @@ def test_unsettled_write_behind_is_invisible(tmp_catalog, spark):
     # a live process — but here the orphan is gone, so just re-commit
     fresh.commit("t", spark.createDataFrame([(3,)], "v int"), mode="append")
     assert fresh.read("t").count() == 3
+
+
+def test_vacuum_spares_inflight_staged_dirs(tmp_catalog, spark):
+    """ADVICE r3: with an UNSETTLED commit_many_async handle outstanding,
+    vacuum must not delete the staged (higher-than-manifest-sid) dirs —
+    settle would otherwise publish manifests pointing at removed paths."""
+    tmp_catalog.commit("t", spark.createDataFrame([(1,)], "v int"), mode="overwrite")
+    handle = tmp_catalog.commit_many_async(
+        [("t", spark.createDataFrame([(2,)], "v int"), "append", None)]
+    )
+    for f in handle["futures"]:
+        f.result()
+    staged = os.path.join(tmp_catalog._tdir("t"), "snap-000001")
+    assert os.path.isdir(staged)
+    assert tmp_catalog.vacuum("t") == 0          # refused: handle unsettled
+    assert os.path.isdir(staged)
+    tmp_catalog.commit_settle(handle)
+    assert tmp_catalog.read("t").count() == 2    # settle still valid
+    # handle spent -> higher-sid dirs are orphans again (none here)
+    assert tmp_catalog.vacuum("t") == 0
+
+
+def test_vacuum_path_spelling_safe(tmp_catalog, spark, tmp_path):
+    """ADVICE r3 (medium): opening the catalog under a different spelling of
+    the same warehouse root must not make live snap dirs read as orphans."""
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+
+    tmp_catalog.commit("t", spark.createDataFrame([(1,)], "v int"), mode="overwrite")
+    tmp_catalog.commit("t", spark.createDataFrame([(2,)], "v int"), mode="append")
+    # same root, different spelling: trailing '/..'-style indirection
+    alias_root = os.path.join(tmp_catalog.root, "..", os.path.basename(tmp_catalog.root))
+    alias = SnapshotCatalog(spark, alias_root)
+    assert alias.vacuum("t") == 0                # nothing falsely orphaned
+    assert tmp_catalog.read("t").count() == 2
+    # symlinked root spelling
+    link = str(tmp_path / "wh_link")
+    os.symlink(tmp_catalog.root, link)
+    assert SnapshotCatalog(spark, link).vacuum("t") == 0
+    assert tmp_catalog.read("t").count() == 2

@@ -277,6 +277,9 @@ def test_en_stem_column_matches_python_mirror(spark):
         "ponies", "caress", "cats", "searching", "sing", "crawled", "bed",
         "key", "day", "y", "ss", "s", "pass", "tries", "going", "feed",
         "agreed", "plastered", "motoring", "happy", "sky", "analysis",
+        # possessives / apostrophes (Porter step-1 extension, VERDICT r3 #6)
+        "dog's", "crawler's", "sites'", "'quoted'", "''", "'s", "o'clock",
+        "agreed's", "proceed", "speed", "freed",
     ]
     df = spark.createDataFrame([(w,) for w in words], "w string")
     got = {r["w"]: r["s"] for r in df.select("w", en_stem(F.col("w")).alias("s")).collect()}
