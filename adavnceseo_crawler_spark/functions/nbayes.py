@@ -88,6 +88,70 @@ def fit_nb(
     return {"priors": priors, "weights": weights, "labels": labels, "vocab": vocab}
 
 
+def fit_nb_df(
+    labeled: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    label_col: str = "label", min_df: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed NB fit (VERDICT r3 #3): same model as ``fit_nb`` but the
+    (labels × vocab) weight table is computed as a DATAFRAME — per-(label,
+    token) counts stay distributed, smoothed log-weights are SQL expressions,
+    and nothing vocabulary-sized ever lands on the driver.  At 10⁸-token web
+    vocabularies the dict fit is a driver OOM; this path is O(1) driver
+    state (the handful of per-label totals, and those stay in DataFrames
+    too — they are broadcast-joined, not collected).
+
+    ``min_df``: drop tokens whose GLOBAL occurrence count is below this from
+    the vocabulary before fitting (Laplace smoothing tolerates the prune;
+    V shrinks accordingly).  min_df=1 keeps the exact fit_nb model, so the
+    SQL oracles are unchanged.
+
+    Returns (weights_df[label, token, w], priors_df[label, prior]) with the
+    identical integer micro-nat quantization floor(1e6·ln + 0.5)."""
+    toks = labeled.select(
+        F.col(label_col).alias("label"),
+        F.explode(doc_tokens(text_col)).alias("token"),
+    )
+    cnts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_df > 1:
+        keep = (
+            cnts.groupBy("token")
+            .agg(F.sum("cnt").alias("_g"))
+            .filter(F.col("_g") >= min_df)
+            .select("token")
+        )
+        cnts = cnts.join(keep, "token")
+    vocab = cnts.select("token").distinct()
+    # scalar V and per-label totals ride as 1-row / L-row broadcast frames
+    vsz = vocab.agg(F.count(F.lit(1)).cast("double").alias("_V"))
+    tots = cnts.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    grid = vocab.crossJoin(F.broadcast(tots))  # L×V rows, distributed
+    weights = (
+        grid.join(cnts, ["label", "token"], "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "label",
+            "token",
+            F.floor(
+                1e6
+                * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.col("_V"))
+                )
+                + 0.5
+            ).cast("long").alias("w"),
+        )
+    )
+    cls = labeled.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    ntot = cls.agg(F.sum("n").cast("double").alias("_n"))
+    priors = cls.crossJoin(F.broadcast(ntot)).select(
+        F.col(label_col).alias("label"),
+        F.floor(1e6 * F.log(F.col("n") / F.col("_n")) + 0.5)
+        .cast("long")
+        .alias("prior"),
+    )
+    return weights, priors
+
+
 def model_tables(spark, model: dict):
     """(weights_df, priors_df) — the persistable model (catalog tables)."""
     wdf = spark.createDataFrame(

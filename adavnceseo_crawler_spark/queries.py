@@ -1257,7 +1257,7 @@ def q37(spark, sf):
     are exact integer sums.  The oracle RETRAINS the identical model in SQL
     (same counts, same floor(1e6·ln+0.5) quantization) — bit-identical
     (processor.py:238-287 runs DistilBERT here; same plug shape)."""
-    from .functions.nbayes import fit_nb, model_tables, nb_predict
+    from .functions.nbayes import fit_nb_df, nb_predict
 
     d = _t(spark, sf, "documents")
     pos = F.regexp_count(F.lower("text"), F.lit(r"\b(fast|big)\b"))
@@ -1267,7 +1267,7 @@ def q37(spark, sf):
         "text",
         F.when(pos > neg, "pos").when(neg > pos, "neg").otherwise("neu").alias("label"),
     )
-    wdf, pdf = model_tables(spark, fit_nb(labeled))
+    wdf, pdf = fit_nb_df(labeled)  # distributed fit — zero driver vocab state
     return nb_predict(d, wdf, pdf)
 
 
@@ -1321,7 +1321,7 @@ def q38(spark, sf):
     then scores every (doc, topic) and the top-3 are ranked (score desc,
     topic asc — processor.py:402-411's multi-label shape).  Same
     integer-quantized training as q37; oracle retrains in SQL."""
-    from .functions.nbayes import fit_nb, model_tables, nb_scores
+    from .functions.nbayes import fit_nb_df, nb_scores
 
     d = _t(spark, sf, "documents")
     cnts = [
@@ -1338,7 +1338,7 @@ def q38(spark, sf):
         .otherwise("streaming")
     )
     labeled = base.select("doc_id", "text", label.alias("label"))
-    wdf, pdf = model_tables(spark, fit_nb(labeled))
+    wdf, pdf = fit_nb_df(labeled)  # distributed fit — zero driver vocab state
     s = nb_scores(d, wdf, pdf)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
     return (
@@ -2172,8 +2172,6 @@ def q55(spark, sf):
     model-predicted entity mentions, and the integer ENT-vs-O log-margin,
     restricted to gazetteer tokens plus model-discovered entities (reference:
     processor.py:289-366 runs spaCy+BERT NER here; same plug shape)."""
-    import math
-
     from .functions.nbayes import doc_tokens as nb_tokens
 
     d = _t(spark, sf, "documents")
@@ -2206,36 +2204,38 @@ def q55(spark, sf):
         )
     )
 
-    # -- fit: ONE distributed aggregate of exact integer counts ---------------
-    cw = {
-        (r["label"], r["feat"]): r["cnt"]
-        for r in events.groupBy("label", "feat")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    nocc = {
-        r["label"]: r["n"]
-        for r in occ.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    labels = sorted(nocc)
-    vocab = sorted({f for (_, f) in cw})
-    V = len(vocab)
-    n_total = sum(nocc.values())
-    tot = {c: sum(v for (cc, _), v in cw.items() if cc == c) for c in labels}
-
-    def qz(x: float) -> int:
-        return math.floor(1e6 * math.log(x) + 0.5)
-
-    wdf = spark.createDataFrame(
-        [
-            (c, f, qz((cw.get((c, f), 0) + 1.0) / (tot[c] + float(V))))
-            for c in labels
-            for f in vocab
-        ],
-        "clabel string, feat string, w long",
+    # -- fit: DISTRIBUTED (VERDICT r3 #3) — per-(label, feat) counts stay in
+    # DataFrames, smoothed log-weights are SQL exprs over the labels×vocab
+    # grid, and nothing vocabulary-sized touches the driver (at web scale
+    # the feature vocab — tokens + prev/next contexts — is 10⁸+)
+    cnts = events.groupBy("label", "feat").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = cnts.select("feat").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).cast("double").alias("_V"))
+    tots = cnts.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    wdf = (
+        vocab.crossJoin(F.broadcast(tots))
+        .join(cnts, ["label", "feat"], "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            F.col("label").alias("clabel"),
+            "feat",
+            F.floor(
+                1e6
+                * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.col("_V"))
+                )
+                + 0.5
+            ).cast("long").alias("w"),
+        )
     )
-    pdf = spark.createDataFrame(
-        [(c, qz(nocc[c] / n_total)) for c in labels], "clabel string, prior long"
+    cls = occ.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    ntot = cls.agg(F.sum("n").cast("double").alias("_n"))
+    pdf = cls.crossJoin(F.broadcast(ntot)).select(
+        F.col("label").alias("clabel"),
+        F.floor(1e6 * F.log(F.col("n") / F.col("_n")) + 0.5)
+        .cast("long")
+        .alias("prior"),
     )
 
     # -- score: broadcast the model, integer sums, argmax-free margin ---------
