@@ -308,3 +308,92 @@ def test_bm25_english_analyzer_matches_stemmed_docs(spark):
     en = bm25_topk(docs, terms=terms, k=5, analyzer="english")
     rows = {r["doc_id"]: r["bm25"] for r in en.collect()}
     assert set(rows) == {1, 2} and all(v > 0 for v in rows.values())
+
+
+def test_image_codec_roundtrip_pure():
+    """decode_real(encode(px)) == px exactly for both supported formats
+    (VERDICT r3 #5: the NotImplementedError path is gone for images)."""
+    import numpy as np
+
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        decode_real,
+        encode_bmp,
+        encode_ppm,
+        synth_pixels,
+    )
+
+    for i in range(8):
+        w, h = 8 + i % 5, 6 + i % 3
+        px = synth_pixels(i, w, h)
+        assert np.array_equal(decode_real(encode_bmp(px), "image/bmp"), px)
+        assert np.array_equal(
+            decode_real(encode_ppm(px), "image/x-portable-pixmap"), px
+        )
+    # odd width exercises BMP's 4-byte row padding
+    px = synth_pixels(3, 7, 5)
+    assert np.array_equal(decode_real(encode_bmp(px), "image/bmp"), px)
+    # PPM with header comments
+    raw = encode_ppm(px)
+    commented = raw[:2] + b"\n# a comment\n" + raw[2:]
+    assert np.array_equal(
+        decode_real(commented, "image/x-portable-pixmap"), px
+    )
+    # unsupported mimes still raise with the documented integration point
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG...", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"RIFF....", "audio/wav")
+
+
+def test_image_features_from_real_pixels():
+    """image_features reports true dims, channel means and an integer-binned
+    luminance histogram from the decoded pixels."""
+    import numpy as np
+
+    from adavnceseo_crawler_spark.operators.multimodal import image_features
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    px[:, :, 1] = 20
+    px[:, :, 2] = 30
+    f = image_features(px, dim=16)
+    assert f[0] == 6.0 and f[1] == 4.0           # w, h
+    assert tuple(f[2:5]) == (10.0, 20.0, 30.0)   # channel means
+    # single luminance value -> one histogram bin holds all mass
+    hist = f[5:]
+    assert len(hist) == 11
+    assert abs(hist.sum() - 1.0) < 1e-6
+    assert (hist == 1.0).sum() == 1
+
+
+def test_extract_features_real_decode(spark):
+    """The decode="real" path runs the actual BMP/PPM parse inside
+    mapInPandas and yields pixel-derived features; opaque blobs in the same
+    run fall back to the stub (mixed-modality batch survives)."""
+    import numpy as np
+
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        extract_features,
+        image_features,
+        synth_media,
+        synth_media_real,
+        synth_pixels,
+    )
+
+    real = synth_media_real(spark, n=12)
+    rows = {r["media_id"]: r for r in extract_features(real, decode="real").collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        w, h = 8 + i % 5, 6 + i % 3
+        expect = image_features(synth_pixels(i, w, h), dim=16)
+        got = np.array(rows[i]["feature"], dtype=np.float32)
+        assert np.allclose(got, expect, atol=1e-5), i
+    # mixed: opaque payloads under decode="real" fall back to the stub
+    mixed = synth_media(spark, n=6)
+    stub = {r["media_id"]: tuple(r["feature"])
+            for r in extract_features(mixed).collect()}
+    fell_back = {r["media_id"]: tuple(r["feature"])
+                 for r in extract_features(mixed, decode="real").collect()}
+    assert stub == fell_back

@@ -197,3 +197,70 @@ def test_frontier_tombstone_join_broadcast_vs_shuffle(spark, tmp_path):
     rows_b = sorted((r["url_hash"], r["round"]) for r in bcast.collect())
     rows_s = sorted((r["url_hash"], r["round"]) for r in shuf.collect())
     assert rows_b == rows_s
+
+
+def test_frontier_base_shuffles_once_through_tombstone_and_enrich(spark, tmp_path):
+    """VERDICT r3 #7: the MoR read's single-key tombstone join must leave the
+    frontier base partitioned on url_hash so the url_metadata enrich join
+    reuses that exchange — the compound-key (url_hash, round) variant forced
+    a SECOND full shuffle of the base (measured +40 s/round at the 4-core
+    4M-page scaling shape).  Pin: in the composed shuffle-regime plan
+    (tombstones above broadcast threshold, auto-broadcast off) there are
+    exactly THREE hash exchanges — base, grouped tombstones, metadata
+    aggregate — and every base-side partitioning keys on url_hash alone."""
+    from pyspark.sql import functions as F
+
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+    from adavnceseo_crawler_spark.config import CrawlConfig
+    from adavnceseo_crawler_spark.plans.round import read_frontier, round_ts
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "xrwh"))
+    cat.commit(
+        "frontier",
+        spark.createDataFrame(
+            [(0, f"https://h/{i}", f"h{i}", "h", 0, None, round_ts(0), 0, 0)
+             for i in range(50)],
+            schemas.FRONTIER,
+        ),
+        mode="overwrite",
+    )
+    cat.commit(
+        "frontier_consumed",
+        spark.createDataFrame([(f"h{i}", 0) for i in range(10)],
+                              schemas.FRONTIER_CONSUMED),
+        mode="append",
+    )
+    cat.commit(
+        "url_metadata",
+        spark.createDataFrame(
+            [(f"h{i}", round_ts(0), "success", 0.5, 0.1, 100) for i in range(5)],
+            schemas.URL_METADATA,
+        ),
+        mode="overwrite",
+    )
+    cfg = CrawlConfig()
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frontier = read_frontier(
+            cat, cfg, consumed_rows_hint=cfg.consumed_broadcast_rows + 1
+        )
+        meta_latest = (
+            cat.read("url_metadata")
+            .select("url_hash", "last_crawled")
+            .groupBy("url_hash")
+            .agg(F.max("last_crawled").alias("last_crawled"))
+        )
+        cand = frontier.join(meta_latest, "url_hash", "left")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    parts = plan.split("Exchange hashpartitioning(")[1:]
+    assert len(parts) == 3, f"expected 3 hash exchanges, got {len(parts)}:\n{plan}"
+    for p in parts:
+        keyspec = p.split(")")[0]
+        assert keyspec.startswith("url_hash#"), plan
+        assert ", round#" not in keyspec, plan
+    # row-level sanity: enrich output preserves the resolved frontier rows
+    assert cand.count() == 40
