@@ -246,9 +246,18 @@ class SnapshotCatalog:
         return snap
 
     def commit_empty(self, table: str, schema, meta: dict[str, Any] | None = None):
-        """Commit an empty overwrite snapshot with the given schema."""
+        """Commit an empty overwrite snapshot with the given schema.  The
+        manifest carries ``empty: True`` so readers can skip whole plan
+        branches without a row-count job (see ``is_bootstrap_empty``)."""
         df = self.spark.createDataFrame([], schema)
-        return self.commit(table, df, mode="overwrite", meta=meta)
+        return self.commit(table, df, mode="overwrite", meta={**(meta or {}), "empty": True})
+
+    def is_bootstrap_empty(self, table: str) -> bool:
+        """True iff the table's LATEST snapshot is still a commit_empty one —
+        a pure manifest read (no Spark job).  Any later append/overwrite
+        clears the flag because its manifest meta lacks ``empty``."""
+        snap = self.latest(table)
+        return snap is not None and bool(snap.meta.get("empty"))
 
     def _write_manifest(self, table: str, snap: Snapshot) -> None:
         mandir = self._mandir(table)

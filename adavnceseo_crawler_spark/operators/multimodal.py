@@ -146,24 +146,196 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return raster[:, :, ::-1].copy()  # BGR -> RGB
 
 
+# ---------------------------------------------------------------------------
+# Real audio codec (pure stdlib + numpy): RIFF/WAVE, 16-bit PCM mono.
+# ---------------------------------------------------------------------------
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """1-D int16 samples -> RIFF/WAVE PCM16 mono."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")   # PCM, mono
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + n.to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono -> (int16 samples, sample_rate).  Walks the
+    chunk list (fmt may not be first), rejects compressed/stereo variants."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV fmt={fmt} ch={channels} bits={bits}")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2").astype(np.int16), rate
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
+    """Feature vector from ACTUAL samples: [n_samples, rate, mean, strict
+    zero-crossing count, then a (dim-4)-bin normalized amplitude histogram].
+    Histogram binning is integer ((s+32768)·nbins // 65536), so an SQL
+    oracle replays it exactly."""
+    s = samples.astype(np.int64)
+    n = len(s)
+    nbins = dim - 4
+    bins = (s + 32768) * nbins // 65536
+    hist = np.bincount(bins, minlength=nbins).astype(np.float64) / max(1, n)
+    zc = int(np.sum(s[1:] * s[:-1] < 0)) if n > 1 else 0
+    mean = float(s.mean()) if n else 0.0
+    return np.concatenate(
+        ([float(n), float(rate), mean, float(zc)], hist)
+    ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Real video codec (pure stdlib + numpy): minimal AVI (RIFF) container with
+# uncompressed raw-DIB frames ('00db' chunks: bottom-up BGR rows padded to
+# 4 bytes — the BMP raster without the BMP header).
+# ---------------------------------------------------------------------------
+def encode_avi(frames: list, rate: int = 10) -> bytes:
+    """List of (H, W, 3) uint8 RGB frames -> minimal AVI."""
+    h, w, _ = frames[0].shape
+    row_size = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - w * 3)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = (
+        (1000000 // rate).to_bytes(4, "little")       # usec/frame
+        + (0).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little")                   # flags
+        + len(frames).to_bytes(4, "little")           # total frames
+        + (0).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + (row_size * h).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    strh = (
+        b"vids" + b"DIB " + (0).to_bytes(4, "little") * 3
+        + (1).to_bytes(4, "little") + rate.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + len(frames).to_bytes(4, "little")
+        + (row_size * h).to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (0).to_bytes(8, "little")
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (row_size * h).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    movi = b""
+    for fr in frames:
+        bgr = fr[:, :, ::-1].astype(np.uint8)
+        raster = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+        movi += chunk(b"00db", raster)
+    body = (
+        b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", movi)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Minimal AVI with raw-DIB frames -> (N, H, W, 3) uint8 RGB."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    rasters: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            body = buf[pos + 8:pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"avih":
+                w = int.from_bytes(body[32:36], "little")
+                h = int.from_bytes(body[36:40], "little")
+            elif cid in (b"00db", b"00dc"):
+                rasters.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if w is None or not rasters:
+        raise ValueError("AVI missing avih or frame chunks")
+    row_size = (w * 3 + 3) & ~3
+    frames = []
+    for r in rasters:
+        raster = np.frombuffer(r, dtype=np.uint8, count=row_size * h).reshape(
+            h, row_size)[:, : w * 3].reshape(h, w, 3)
+        frames.append(raster[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
+    return np.stack(frames)
+
+
+def video_features(frames: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Feature vector with FRAME SAMPLING: [n_frames, w, h, then a
+    (dim-3)-bin integer-binned luminance histogram over the first / middle /
+    last frames only] — the decode-a-few-frames shape a training pipeline
+    uses on hour-long videos."""
+    n, h, w, _ = frames.shape
+    idxs = sorted({0, n // 2, n - 1})
+    px = frames[idxs].reshape(-1, 3).astype(np.int64)
+    lum = 299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
+    nbins = dim - 3
+    bins = lum * nbins // 255001
+    hist = np.bincount(bins, minlength=nbins).astype(np.float64) / max(1, lum.size)
+    return np.concatenate(([float(n), float(w), float(h)], hist)).astype(np.float32)
+
+
 _IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
 }
 
 
-def decode_real(payload: bytes, mime: str) -> np.ndarray:
+def decode_real(payload: bytes, mime: str):
     """Real decode: (H, W, 3) uint8 pixels for the supported uncompressed
-    image formats; everything else raises with the integration point
-    documented (PIL/torchaudio/ffmpeg are not installable in this sandbox)."""
+    image formats, (samples, rate) for PCM WAV; everything else (JPEG/PNG,
+    compressed audio, video) raises with the integration point documented
+    (PIL/torchaudio/ffmpeg are not installable in this sandbox)."""
     dec = _IMAGE_DECODERS.get(mime)
-    if dec is None:
-        raise NotImplementedError(
-            f"no codec for {mime!r} in this sandbox (supported: "
-            f"{sorted(_IMAGE_DECODERS)}); wire PIL/torchaudio/ffmpeg here "
-            "in deployment"
-        )
-    return dec(payload)
+    if dec is not None:
+        return dec(payload)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload)
+    if mime in ("video/x-msvideo", "video/avi"):
+        return decode_avi(payload)
+    raise NotImplementedError(
+        f"no codec for {mime!r} in this sandbox (supported: "
+        f"{sorted(_IMAGE_DECODERS) + ['audio/wav', 'video/x-msvideo']}); "
+        "wire PIL/torchaudio/ffmpeg here in deployment"
+    )
 
 
 def image_features(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
@@ -210,7 +382,13 @@ def extract_features(
             for p, mime in zip(pdf["payload"], pdf["mime"]):
                 if decode == "real":
                     try:
-                        feats.append(image_features(decode_real(p, mime), dim).tolist())
+                        decoded = decode_real(p, mime)
+                        if isinstance(decoded, tuple):      # (samples, rate)
+                            feats.append(audio_features(*decoded, dim).tolist())
+                        elif decoded.ndim == 4:             # (N, H, W, 3) frames
+                            feats.append(video_features(decoded, dim).tolist())
+                        else:                               # (H, W, 3) pixels
+                            feats.append(image_features(decoded, dim).tolist())
                         continue
                     except (NotImplementedError, ValueError):
                         pass
@@ -252,6 +430,43 @@ def synth_media(spark, n: int = 100) -> DataFrame:
         payload = bytes(((i * 37 + j * 11) % 256) for j in range(64 + i % 128))
         meta = ("application/octet-stream", 64, 48, 1000 + i)
         rows.append((i, modality, payload, meta))
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def synth_samples(i: int, n: int = 400) -> np.ndarray:
+    """Deterministic int16 PCM test signal for media_id i: amplitude bounded
+    to ±8192 so 400-sample sums stay < 2^24 (exact in float32 features)."""
+    j = np.arange(n, dtype=np.int64)
+    return ((j * j + 31 * j * i + i) % 16384 - 8192).astype(np.int16)
+
+
+def synth_media_audio(spark, n: int = 40, n_samples: int = 400) -> DataFrame:
+    """Deterministic REAL-audio media table: RIFF/WAVE PCM16 payloads of
+    synth_samples(i).  The q58 oracle recomputes features from the sample
+    FORMULA in SQL, never parsing the WAV container."""
+    rows = []
+    for i in range(n):
+        payload = encode_wav(synth_samples(i, n_samples), rate=8000)
+        rows.append(
+            (i, "audio", payload,
+             ("audio/wav", None, None, n_samples * 1000 // 8000))
+        )
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def synth_media_video(spark, n: int = 12) -> DataFrame:
+    """Deterministic REAL-video media table: minimal AVIs of 4-6 synthetic
+    8x6 frames (frame f of media i = synth_pixels(i*97 + f)).  The q59
+    oracle recomputes the frame-sampled features from the pixel formula."""
+    rows = []
+    for i in range(n):
+        n_frames = 4 + i % 3
+        frames = [synth_pixels(i * 97 + f, 8, 6) for f in range(n_frames)]
+        payload = encode_avi(frames, rate=10)
+        rows.append(
+            (i, "video", payload,
+             ("video/x-msvideo", 8, 6, n_frames * 100))
+        )
     return spark.createDataFrame(rows, MEDIA)
 
 

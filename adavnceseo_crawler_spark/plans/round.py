@@ -161,14 +161,30 @@ def run_round(
     # exchange: same single shuffle of the metadata as the compacted-table
     # join had.  Cost stays O(|distinct urls|), never a growing-history
     # rescan (bounded by base + compact_every deltas).
-    meta_latest = (
-        meta.select("url_hash", "last_crawled")
-        .groupBy("url_hash")
-        .agg(F.max("last_crawled").alias("last_crawled"))
-    )
-    cand = (
-        frontier.join(meta_latest, "url_hash", "left")
-        .join(
+    # bootstrap fast path: on the very first round url_metadata/domain_stats
+    # are still their commit_empty snapshots (manifest-flagged, no row-count
+    # job) — joining an EMPTY table still plans a full aggregate + exchange
+    # of the frontier side, so substitute the joins' null columns directly
+    if cat.is_bootstrap_empty("url_metadata"):
+        cand = frontier.withColumn(
+            "last_crawled", F.lit(None).cast("timestamp")
+        )
+    else:
+        meta_latest = (
+            meta.select("url_hash", "last_crawled")
+            .groupBy("url_hash")
+            .agg(F.max("last_crawled").alias("last_crawled"))
+        )
+        cand = frontier.join(meta_latest, "url_hash", "left")
+    if cat.is_bootstrap_empty("domain_stats"):
+        for _c, _t in (
+            ("domain_score", "double"), ("success_count", "long"),
+            ("total_count", "long"), ("avg_crawl_time", "double"),
+            ("avg_content_length", "double"),
+        ):
+            cand = cand.withColumn(_c, F.lit(None).cast(_t))
+    else:
+        cand = cand.join(
             F.broadcast(
                 dstats.select(
                     "host",
@@ -182,6 +198,8 @@ def run_round(
             "host",
             "left",
         )
+    cand = (
+        cand
         .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")))
         # NB: damping depth is PATH-segment depth (prioritizer.py:92), not the
         # crawl-hop depth the frontier tracks.

@@ -2437,6 +2437,149 @@ def q57(spark, sf):
 
 
 # =============================================================================
+# Real audio decode (round 4): RIFF/WAVE PCM16 payloads -> samples ->
+# features.  Same oracle discipline as q57: Spark parses the actual WAV
+# container (decode_wav in the mapInPandas UDF); the oracle recomputes the
+# features from synth_samples' generative formula in SQL.  All compared
+# values are integer-exact (sample sums bounded < 2^24 survive float32).
+# =============================================================================
+@q(
+    "q58_audio_decode_features",
+    """
+    WITH m AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 40) t(i)),
+    s AS (
+      SELECT media_id, CAST(j AS BIGINT) AS j,
+             (j * j + 31 * j * media_id + media_id) % 16384 - 8192 AS v
+      FROM m, unnest(range(0, 400)) tj(j)),
+    zc AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN v * prev_v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      FROM (SELECT media_id, v,
+                   lag(v) OVER (PARTITION BY media_id ORDER BY j) AS prev_v
+            FROM s)
+      WHERE prev_v IS NOT NULL GROUP BY media_id),
+    sums AS (
+      SELECT media_id, CAST(sum(v) AS BIGINT) AS sum_v FROM s GROUP BY media_id),
+    bins AS (
+      SELECT media_id, (v + 32768) * 12 // 65536 AS bin, count(*) AS cnt
+      FROM s GROUP BY media_id, bin),
+    grid AS (
+      SELECT m.media_id, CAST(kk AS BIGINT) AS bin
+      FROM m, unnest(range(0, 12)) t2(kk)),
+    hist AS (
+      SELECT grid.media_id,
+             array_to_string(
+               list(CAST(coalesce(bins.cnt, 0) AS INT) ORDER BY grid.bin),
+               ',') AS hist12
+      FROM grid LEFT JOIN bins
+        ON grid.media_id = bins.media_id AND grid.bin = bins.bin
+      GROUP BY grid.media_id)
+    SELECT sums.media_id, CAST(400 AS INT) AS n_samples, CAST(8000 AS INT) AS rate,
+           sums.sum_v, zc.zc, hist.hist12
+    FROM sums JOIN zc ON sums.media_id = zc.media_id
+              JOIN hist ON sums.media_id = hist.media_id
+    """,
+)
+def q58(spark, sf):
+    """Multimodal REAL audio decode: WAV containers parsed to int16 samples
+    in the Arrow-batched UDF (operators/multimodal.decode_wav), features
+    from actual sample values (mean, strict zero crossings, integer-binned
+    amplitude histogram)."""
+    from .operators.multimodal import extract_features, synth_media_audio
+
+    media = synth_media_audio(spark, n=40, n_samples=400)
+    feats = extract_features(media, decode="real")
+    f = F.col("feature")
+    n = F.round(f[0]).cast("long")
+    hist12 = F.array_join(
+        F.transform(
+            F.slice(f, 5, 12),
+            lambda x: F.round(x * n).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        F.round(f[0]).cast("int").alias("n_samples"),
+        F.round(f[1]).cast("int").alias("rate"),
+        F.round(f[2] * n).cast("long").alias("sum_v"),
+        F.round(f[3]).cast("long").alias("zc"),
+        hist12.alias("hist12"),
+    )
+
+
+# =============================================================================
+# Real video decode (round 4): minimal-AVI containers parsed to frame
+# arrays, features FRAME-SAMPLED (first/middle/last) — the decode-a-few-
+# frames shape for hour-long videos.  Oracle recomputes from the per-frame
+# pixel formula (seed = media_id*97 + frame).
+# =============================================================================
+@q(
+    "q59_video_decode_features",
+    """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(4 + i % 3 AS BIGINT) AS n_f
+      FROM range(0, 12) t(i)),
+    fr AS (
+      SELECT media_id, n_f, CAST(j AS BIGINT) AS j,
+             media_id * 97 + j AS seed
+      FROM m, unnest(range(0, n_f)) tj(j)
+      WHERE j = 0 OR j = n_f // 2 OR j = n_f - 1),
+    px AS (
+      SELECT media_id, n_f,
+             (x * 31 + seed * 7) % 256 AS r,
+             (y * 53 + seed * 13) % 256 AS g,
+             (x * y + seed) % 256 AS b
+      FROM fr, unnest(range(0, 6)) ty(y), unnest(range(0, 8)) tx(x)),
+    bins AS (
+      SELECT media_id, (299 * r + 587 * g + 114 * b) * 13 // 255001 AS bin,
+             count(*) AS cnt
+      FROM px GROUP BY media_id, bin),
+    grid AS (
+      SELECT m.media_id, CAST(kk AS BIGINT) AS bin
+      FROM m, unnest(range(0, 13)) t2(kk)),
+    hist AS (
+      SELECT grid.media_id,
+             array_to_string(
+               list(CAST(coalesce(bins.cnt, 0) AS INT) ORDER BY grid.bin),
+               ',') AS hist13
+      FROM grid LEFT JOIN bins
+        ON grid.media_id = bins.media_id AND grid.bin = bins.bin
+      GROUP BY grid.media_id)
+    SELECT m.media_id, CAST(m.n_f AS INT) AS n_frames,
+           CAST(8 AS INT) AS w, CAST(6 AS INT) AS h, hist.hist13
+    FROM m JOIN hist ON m.media_id = hist.media_id
+    """,
+)
+def q59(spark, sf):
+    """Multimodal REAL video decode: AVI containers parsed to (N, H, W, 3)
+    frame arrays in the Arrow-batched UDF (operators/multimodal.decode_avi),
+    features from the SAMPLED frames' actual pixels (first/middle/last, 144
+    pixels -> integer-binned luminance histogram)."""
+    from .operators.multimodal import extract_features, synth_media_video
+
+    media = synth_media_video(spark, n=12)
+    feats = extract_features(media, decode="real")
+    f = F.col("feature")
+    npx = F.lit(3 * 8 * 6)  # 3 sampled frames x 8x6 px (n_frames >= 4)
+    hist13 = F.array_join(
+        F.transform(
+            F.slice(f, 4, 13),
+            lambda x: F.round(x * npx).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        F.round(f[0]).cast("int").alias("n_frames"),
+        F.round(f[1]).cast("int").alias("w"),
+        F.round(f[2]).cast("int").alias("h"),
+        hist13.alias("hist13"),
+    )
+
+
+# =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
 # order; with 54 registered, four fall outside.  Put the newest,
@@ -2458,8 +2601,10 @@ _WINDOW_TAIL = [
     "q03_revenue_by_nation",
     "q04_topk_orders_per_customer",
     # beyond-window but fully local-oracle-checked (test_queries_oracle runs
-    # ALL entries): real-image-decode parity
+    # ALL entries): real image/audio/video decode parity
     "q57_image_decode_features",
+    "q58_audio_decode_features",
+    "q59_video_decode_features",
 ]
 
 

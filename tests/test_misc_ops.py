@@ -344,6 +344,9 @@ def test_image_codec_roundtrip_pure():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG...", "image/png")
     with pytest.raises(NotImplementedError):
+        decode_real(b"\xff\xfb...", "audio/mpeg")  # compressed audio: no codec
+    # supported mime + malformed payload is a decode error, not a stub path
+    with pytest.raises(ValueError):
         decode_real(b"RIFF....", "audio/wav")
 
 
@@ -397,3 +400,67 @@ def test_extract_features_real_decode(spark):
     fell_back = {r["media_id"]: tuple(r["feature"])
                  for r in extract_features(mixed, decode="real").collect()}
     assert stub == fell_back
+
+
+def test_wav_codec_roundtrip_pure():
+    """decode_wav(encode_wav(s)) == s exactly; chunk-walk handles extra
+    chunks; non-PCM/stereo variants rejected."""
+    import numpy as np
+    import pytest
+
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        decode_real,
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    for i in range(5):
+        s = synth_samples(i, 400)
+        out, rate = decode_wav(encode_wav(s, rate=8000))
+        assert rate == 8000 and np.array_equal(out, s)
+    # via the mime dispatcher
+    out, rate = decode_real(encode_wav(synth_samples(1), 16000), "audio/wav")
+    assert rate == 16000
+    # an extra LIST chunk between fmt and data is skipped by the chunk walk
+    raw = encode_wav(synth_samples(2, 10), 8000)
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = raw[:36] + extra + raw[36:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    out, _ = decode_wav(patched)
+    assert np.array_equal(out, synth_samples(2, 10))
+    # stereo rejected
+    bad = bytearray(raw)
+    bad[22:24] = (2).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_avi_codec_roundtrip_pure():
+    """decode_avi(encode_avi(frames)) == frames exactly; video_features
+    samples first/middle/last frames."""
+    import numpy as np
+
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        decode_avi,
+        decode_real,
+        encode_avi,
+        synth_pixels,
+        video_features,
+    )
+
+    frames = [synth_pixels(s, 8, 6) for s in range(5)]
+    out = decode_avi(encode_avi(frames, rate=10))
+    assert out.shape == (5, 6, 8, 3)
+    assert np.array_equal(out, np.stack(frames))
+    out2 = decode_real(encode_avi(frames), "video/x-msvideo")
+    assert np.array_equal(out2, np.stack(frames))
+    f = video_features(out, dim=16)
+    assert (f[0], f[1], f[2]) == (5.0, 8.0, 6.0)
+    hist = f[3:]
+    assert len(hist) == 13 and abs(hist.sum() - 1.0) < 1e-5
+    # sampling: only frames 0, 2, 4 contribute -> recompute by hand
+    px = out[[0, 2, 4]].reshape(-1, 3).astype(np.int64)
+    lum = 299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
+    expect = np.bincount(lum * 13 // 255001, minlength=13) / lum.size
+    assert np.allclose(hist, expect, atol=1e-6)
