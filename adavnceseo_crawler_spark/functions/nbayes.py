@@ -167,17 +167,24 @@ def model_tables(spark, model: dict):
 def nb_scores(
     df: DataFrame, weights: DataFrame, priors: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """(id, label, score) — integer NB log-score per (doc, class).
 
-    Dataflow: explode tokens → broadcast-join the (class × vocab) weight
-    table (tiny: the model) → integer hash-agg per (doc, class) → add the
-    prior.  Pure JVM integer arithmetic; order-free.  Docs whose every token
-    is out-of-vocab still score every class (prior only) via the
-    priors-cross-join union."""
+    Dataflow: explode tokens → join the (class × vocab) weight table →
+    integer hash-agg per (doc, class) → add the prior.  Pure JVM integer
+    arithmetic; order-free.  Docs whose every token is out-of-vocab still
+    score every class (prior only) via the priors-cross-join union.
+
+    ``broadcast_weights``: the weight table is model-sized (classes ×
+    vocab), so it broadcasts while the vocabulary is bounded; at a 10⁸-token
+    web vocabulary pass False and the contrib join becomes a token-keyed
+    shuffle join (both sides partitioned on token — the same plan shape as
+    the BM25 postings join), which is the correct plan there."""
     toks = token_rows(df, id_col, text_col)
+    wjoin = F.broadcast(weights) if broadcast_weights else weights
     contrib = (
-        toks.join(F.broadcast(weights), "token")
+        toks.join(wjoin, "token")
         .groupBy(id_col, "label")
         .agg(F.sum("w").alias("tscore"))
     )

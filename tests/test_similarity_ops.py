@@ -464,3 +464,24 @@ def test_nb_fit_min_df_prunes_vocab(spark):
     wdf, _ = fit_nb_df(labeled, min_df=2)
     toks = {r["token"] for r in wdf.select("token").distinct().collect()}
     assert toks == {"common"}
+
+
+def test_nb_scores_shuffle_join_equals_broadcast(spark):
+    """nb_scores(broadcast_weights=False) — the 10^8-vocab web-scale plan
+    (token-keyed shuffle join) — must produce identical scores to the
+    broadcast plan."""
+    from adavnceseo_crawler_spark.functions.nbayes import fit_nb_df, nb_scores
+
+    rows = [
+        (0, "spark join agg scan spark", "compute"),
+        (1, "parquet table commit", "storage"),
+        (2, "join table scan snapshot", "compute"),
+        (3, "snapshot manifest table table", "storage"),
+    ]
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    wdf, pdf = fit_nb_df(labeled)
+    a = {(r["doc_id"], r["label"]): r["score"]
+         for r in nb_scores(labeled, wdf, pdf).collect()}
+    b = {(r["doc_id"], r["label"]): r["score"]
+         for r in nb_scores(labeled, wdf, pdf, broadcast_weights=False).collect()}
+    assert a == b and len(a) == 8
