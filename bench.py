@@ -192,6 +192,20 @@ def crawl_http_bench(spark, cpus: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _host_probe() -> float:
+    """STREAM-like triad bandwidth at 8 procs (GB/s), ~2 s.  The box shares
+    its memory bus with noisy neighbors (quiet windows 65-97 GB/s, loud ones
+    <1 — BENCH/BASELINE.md); stamping the probe into the bench output makes
+    every recorded number carry its own host-condition evidence."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+        import memprobe
+
+        return memprobe.run(8)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -199,6 +213,7 @@ def main() -> None:
     from adavnceseo_crawler_spark.queries import QUERIES
     from adavnceseo_crawler_spark.session import get_spark
 
+    probe_pre = _host_probe()
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
     timings: dict[str, float] = {}
@@ -225,6 +240,7 @@ def main() -> None:
                 "sf": float(sf),
                 "crawl": crawl,
                 "crawl_http": crawl_http,
+                "host_probe_gbps": {"pre": probe_pre, "post": _host_probe()},
             }
         )
     )
