@@ -1983,16 +1983,20 @@ def q53(spark, sf):
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
     )
     e = _t(spark, sf, "embeddings")
-    n_emb = e.count()
+    # |embeddings| rides the plan as a broadcast 1-row aggregate — no
+    # standalone count() job (r3 VERDICT nit)
+    n_emb = e.agg(F.count(F.lit(1)).alias("_nemb"))
     emb_q = F.floor(
         F.lit(1000.0) * F.element_at("embedding", 1).cast("double")
     ).cast("long")
     feats = (
         u.join(p, "p_partkey")
+        .crossJoin(F.broadcast(n_emb))
         .join(
             F.broadcast(e.select(F.col("vec_id").alias("_vid"), "embedding")),
-            u["p_partkey"] % n_emb == F.col("_vid"),
+            F.col("p_partkey") % F.col("_nemb") == F.col("_vid"),
         )
+        .drop("_nemb")
         .select(
             "p_partkey",
             "url",
