@@ -87,19 +87,29 @@ def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 EN_STOPWORDS = ("the", "a", "an", "and", "or", "but", "in", "on", "at", "to")
 
+# Porter's measure>0 / contains-vowel conditions stand in as length guards
+# EMBEDDED in the pattern (``^(.{3,})ing$`` ⇔ "len > 5 and ends in ing" —
+# the suffix position is anchored, so the prefix-length requirement is an
+# exact re-expression of the former ``CASE WHEN length > n`` guard).  Flat
+# patterns matter for the JVM side: a guard expressed as
+# ``F.when(length(c) > n, regexp_replace(c, ..)).otherwise(c)`` duplicates
+# the accumulated expression THREE times per guarded rule, so four guarded
+# rules made the codegen'd expression tree ~3^4 larger and q56 3.5× slower
+# (BENCH r4 capture: 4.3 s -> 15.1 s).  With the guard in the pattern the
+# chain is 10 linear regexp_replace calls.
 _EN_STEM_RULES = (
-    ("'s$", "", 0),       # possessive: dog's -> dog  (english tokenizer
-    ("'+$", "", 0),       # keeps apostrophes; trailing/leading bare quotes
-    ("^'+", "", 0),       # stripped like Lucene's possessive filter)
-    ("sses$", "ss", 0),   # caresses -> caress          (step 1a)
-    ("ies$", "i", 0),     # queries -> queri
-    ("([^s])s$", "$1", 0),  # tables -> table (ss kept)
-    ("eed$", "ee", 5),    # agreed -> agree, speed kept (step 1b, m>0 guard)
-    ("ing$", "", 5),      # searching -> search (only len > 5)
-    ("([^e])ed$", "$1", 4),  # crawled -> crawl (len > 4; eed words are
-                          # step-1b's EED rule's alone — Porter's
-                          # longest-suffix precedence, so speed/feed kept)
-    ("([a-z])y$", "$1i", 3),  # query -> queri (unifies with ies-stems)
+    ("'s$", ""),           # possessive: dog's -> dog  (english tokenizer
+    ("'+$", ""),           # keeps apostrophes; trailing/leading bare quotes
+    ("^'+", ""),           # stripped like Lucene's possessive filter)
+    ("sses$", "ss"),       # caresses -> caress          (step 1a)
+    ("ies$", "i"),         # queries -> queri
+    ("([^s])s$", "$1"),    # tables -> table (ss kept)
+    ("^(.{3,})eed$", "$1ee"),  # agreed -> agree; speed/freed kept (step 1b)
+    ("^(.{3,})ing$", "$1"),    # searching -> search (former len>5 guard)
+    ("^(.{2,})([^e])ed$", "$1$2"),  # crawled -> crawl (former len>4 guard;
+                           # eed words are the EED rule's alone — Porter's
+                           # longest-suffix precedence, so speed/feed kept)
+    ("^(.{2,})([a-z])y$", "$1$2i"),  # query -> queri (unifies with ies-stems)
 )
 
 
@@ -111,35 +121,28 @@ def en_stem_sql_ctes(first_cte: str = "raw", token_col: str = "t") -> str:
     ctes = []
     prev = first_cte
     n = len(_EN_STEM_RULES)
-    for i, (pat, repl, min_len) in enumerate(_EN_STEM_RULES):
+    for i, (pat, repl) in enumerate(_EN_STEM_RULES):
         name = "toks" if i == n - 1 else f"s{i + 1}"
         out = "term" if i == n - 1 else token_col
-        sql_repl = repl.replace("$1", "\\1").replace("'", "''")
+        sql_repl = repl.replace("$1", "\\1").replace("$2", "\\2").replace("'", "''")
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({token_col}, '{sql_pat}', '{sql_repl}')"
-        if min_len:
-            expr = (f"CASE WHEN length({token_col}) > {min_len} "
-                    f"THEN {expr} ELSE {token_col} END")
         ctes.append(f"{name} AS (SELECT doc_id, {expr} AS {out} FROM {prev})")
         prev = name
     return ",\n    ".join(ctes)
 
 
 def en_stem(c: Column) -> Column:
-    for pat, repl, min_len in _EN_STEM_RULES:
-        stepped = F.regexp_replace(c, pat, repl)
-        c = stepped if min_len == 0 else F.when(
-            F.length(c) > min_len, stepped
-        ).otherwise(c)
+    for pat, repl in _EN_STEM_RULES:
+        c = F.regexp_replace(c, pat, repl)
     return c
 
 
 def en_stem_py(t: str) -> str:
     """Mirror of en_stem for driver-side query terms (must stay rule-for-rule
     identical — the equality is unit-tested)."""
-    for pat, repl, min_len in _EN_STEM_RULES:
-        if min_len == 0 or len(t) > min_len:
-            t = re.sub(pat, repl.replace("$1", r"\1"), t)
+    for pat, repl in _EN_STEM_RULES:
+        t = re.sub(pat, repl.replace("$1", r"\1").replace("$2", r"\2"), t)
     return t
 
 

@@ -2280,7 +2280,7 @@ def q55(spark, sf):
 # and the query here uses INFLECTED terms (queries/tables/sparks) that match
 # the corpus' base forms only through the stem chain — the match set is empty
 # under q46's analyzer, non-trivial under this one.  The oracle replays the
-# identical 6-rule chain (operators/search._EN_STEM_RULES) as SQL CTEs.
+# identical stem-rule chain (operators/search._EN_STEM_RULES) as SQL CTEs.
 # =============================================================================
 _BM25_EN_QUERY = ("queries", "sparks", "tables")
 
