@@ -830,6 +830,65 @@ def q26(spark, sf):
     )
 
 
+@q(
+    "q60_neardup_components",
+    f"""
+    WITH RECURSIVE g AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents WHERE doc_id < 1000)
+      WHERE length(word) >= 3 AND word NOT IN {{stop}}),
+    gsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+      FROM g a JOIN g b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    vpairs AS (
+      SELECT id_a, id_b
+      FROM shared JOIN gsizes sa ON shared.id_a = sa.doc_id
+                  JOIN gsizes sb ON shared.id_b = sb.doc_id
+      WHERE sh * 1.0 / (sa.n + sb.n - sh) >= 0.9),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+              UNION SELECT id_b, id_a FROM vpairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+      FROM reach GROUP BY src),
+    csizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS comp_size
+               FROM comp GROUP BY canonical_id)
+    SELECT c.doc_id, c.canonical_id, s.comp_size
+    FROM comp c JOIN csizes s USING (canonical_id)
+    """.replace("{stop}", STOPWORDS_SQL),
+)
+def q60(spark, sf):
+    """Near-dup clusters: q26's exact-verified LSH pairs → distributed
+    connected components (min-label propagation, operators/dedup.py
+    neardup_components) → per-doc canonical id + cluster size.  The grouping
+    step is what makes pair-wise dedup safe — one survivor per transitive
+    duplicate cluster, rather than independently dropping one side of each
+    pair.  The oracle computes the same components by recursive-CTE
+    transitive closure over the brute-force pair truth (min reachable id ==
+    propagated min label; both derive the pair set identically, so the whole
+    pipeline pairs→components→sizes is cross-checked end-to-end)."""
+    from .operators.dedup import minhash_verified_pairs, neardup_components
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    pairs = minhash_verified_pairs(
+        d, threshold=0.9, n_hashes=64, bands=16, stopwords=STOPWORDS, min_len=3
+    )
+    comp = neardup_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        "comp_size",
+    )
+
+
 # q27 oracle recomputes the engine's SimHash signatures in PURE SQL: the token
 # hash is the first 16 hex chars of md5(token) (md5 exists in both engines),
 # bit k = (hexdigit(16 - k//4) >> (k%4)) & 1, signature bit = sign of the
@@ -2598,8 +2657,13 @@ _WINDOW_HEAD = [
     "q53_ols_embedding_rank",
     "q55_ner_tagger",
     "q56_bm25_english_analyzer",
+    "q60_neardup_components",
 ]
 _WINDOW_TAIL = [
+    # A1's ES-aggs family keeps driver evidence via q06_domain_stats; q05
+    # moves past the window to keep it at 50 with q60 added (still fully
+    # local-oracle-checked like every tail entry).
+    "q05_events_daily",
     "q01_pricing_summary",
     "q02_top_sources",
     "q03_revenue_by_nation",

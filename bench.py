@@ -41,6 +41,7 @@ HEADLINE = [
     "q22_dedup_exact",
     "q24_cosine_topk",
     "q26_minhash_lsh_neardup",
+    "q60_neardup_components",
     "q27_simhash_candidates",
     "q29_lsh_ann_topk",
     "q42_ml_blended_rank",

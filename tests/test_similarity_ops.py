@@ -485,3 +485,34 @@ def test_nb_scores_shuffle_join_equals_broadcast(spark):
     b = {(r["doc_id"], r["label"]): r["score"]
          for r in nb_scores(labeled, wdf, pdf, broadcast_weights=False).collect()}
     assert a == b and len(a) == 8
+
+
+def test_neardup_components_path_graph(spark):
+    """Min-label propagation on the WORST-case topology for propagation — a
+    path 0-1-2-...-9 (diameter 9, forces ~5 bidirectional iterations) plus a
+    separate triangle and an isolated pair; exact component labels and the
+    keep-canonical anti-join are both pinned."""
+    from adavnceseo_crawler_spark.operators.dedup import (
+        dedup_keep_canonical,
+        neardup_components,
+    )
+
+    path = [(i, i + 1) for i in range(9)]            # component {0..9} -> 0
+    tri = [(20, 21), (21, 22), (20, 22)]             # component {20,21,22} -> 20
+    pair = [(31, 30)]                                # component {30,31} -> 30
+    pairs = spark.createDataFrame(path + tri + pair, "id_a long, id_b long")
+    comp = {r["id"]: r["comp"]
+            for r in neardup_components(pairs).collect()}
+    want = {i: 0 for i in range(10)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert comp == want
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [*range(10), 20, 21, 22, 30, 31, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]
+            for r in dedup_keep_canonical(
+                docs, neardup_components(pairs)).collect()}
+    # one survivor per cluster; the isolated doc 99 passes through untouched
+    assert kept == {0, 20, 30, 99}
