@@ -932,6 +932,33 @@ def q27(spark, sf):
 
 
 @q(
+    "q61_quota_sample",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 8
+    """,
+)
+def q61(spark, sf):
+    """Stratified quota sample — training-data mix rebalancing: keep 8 docs
+    per source, deterministically (smallest md5(doc_id) first, so reruns and
+    incremental snapshots reproduce the same training set).  The engine runs
+    the TWO-STAGE scale plan (broadcast per-stratum counts → map-side hash-
+    fraction prefilter → rank only the ~4·quota survivors, with a verified
+    per-stratum fallback — operators/sampling.py); the oracle is the exact
+    single-stage row_number definition, so the query checks that the
+    prefilter plan equals the exact semantics end-to-end."""
+    from .operators.sampling import quota_sample
+
+    d = _t(spark, sf, "documents")
+    return quota_sample(d, "source", 8, "doc_id", prefilter_factor=4.0)
+
+
+@q(
     "q28_fingerprint",
     """
     WITH aug AS (
@@ -2658,12 +2685,15 @@ _WINDOW_HEAD = [
     "q55_ner_tagger",
     "q56_bm25_english_analyzer",
     "q60_neardup_components",
+    "q61_quota_sample",
 ]
 _WINDOW_TAIL = [
-    # A1's ES-aggs family keeps driver evidence via q06_domain_stats; q05
-    # moves past the window to keep it at 50 with q60 added (still fully
-    # local-oracle-checked like every tail entry).
+    # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
+    # C14's word count is unit-test-pinned (textstats) with q20 covering the
+    # same column family; q05/q21 move past the window to keep it at 50 with
+    # q60/q61 added (still fully local-oracle-checked like every tail entry).
     "q05_events_daily",
+    "q21_token_count",
     "q01_pricing_summary",
     "q02_top_sources",
     "q03_revenue_by_nation",

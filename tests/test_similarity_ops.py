@@ -516,3 +516,24 @@ def test_neardup_components_path_graph(spark):
                 docs, neardup_components(pairs)).collect()}
     # one survivor per cluster; the isolated doc 99 passes through untouched
     assert kept == {0, 20, 30, 99}
+
+
+def test_quota_sample_two_stage_equals_exact(spark):
+    """The prefilter plan must equal the exact single-stage definition on a
+    skewed frame with a stratum below quota, and the verified fallback must
+    restore exactness even when the prefilter is deliberately starved
+    (factor 0.2 keeps ~2 rows where quota needs 10)."""
+    from adavnceseo_crawler_spark.operators.sampling import quota_sample
+
+    rows = [(f"s{(i * i) % 3}", i) for i in range(900)]  # zipf-ish 3 strata
+    rows += [("tiny", i) for i in range(1000, 1004)]     # stratum n=4 < quota
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    exact = {(r["source"], r["doc_id"], r["rk"])
+             for r in quota_sample(df, "source", 10, "doc_id",
+                                   prefilter_factor=None).collect()}
+    for factor in (4.0, 0.2):
+        two = {(r["source"], r["doc_id"], r["rk"])
+               for r in quota_sample(df, "source", 10, "doc_id",
+                                     prefilter_factor=factor).collect()}
+        assert two == exact, factor
+    assert sum(1 for s, _, _ in exact if s == "tiny") == 4  # whole stratum
