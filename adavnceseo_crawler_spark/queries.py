@@ -2670,6 +2670,186 @@ def q59(spark, sf):
 
 
 # =============================================================================
+# Corpus-quality gates + LM perplexity filter (LLM-pipeline surface)
+# =============================================================================
+@q(
+    "q62_gopher_repetition",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+      FROM w),
+    g AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(2, len(ws)+1), i -> ws[i-1] || ' ' || ws[i])) AS gram
+      FROM w
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(3, len(ws)+1),
+                    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+      FROM w),
+    gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    st AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN c END) AS max_bg,
+             sum(CASE WHEN n = 2 THEN c END) AS tot_bg,
+             sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup_tg,
+             sum(CASE WHEN n = 3 THEN c END) AS tot_tg
+      FROM gc GROUP BY 1),
+    r AS (
+      SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+             round(coalesce(st.max_bg * 1.0 / st.tot_bg, 0.0), 6) AS top_bigram_frac,
+             round(coalesce(st.dup_tg * 1.0 / st.tot_tg, 0.0), 6) AS dup_trigram_frac,
+             round(b.n_alpha * 1.0 / greatest(b.n_words, 1), 6) AS alpha_word_frac
+      FROM base b LEFT JOIN st USING (doc_id))
+    SELECT *, (n_words >= 50 AND n_words <= 100000 AND top_bigram_frac <= 0.18
+               AND dup_trigram_frac <= 0.30 AND alpha_word_frac >= 0.8) AS keep
+    FROM r
+    """,
+)
+def q62(spark, sf):
+    """Gopher-style repetition/quality gate (Rae et al. 2021 §A1.1) —
+    top-bigram fraction, duplicate-trigram fraction, alpha-word fraction,
+    combined keep decision.  One explode feeds both gram sizes; every
+    shuffle is keyed by doc_id (operators/quality.py)."""
+    from .operators.quality import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf, "documents"))
+
+
+@q(
+    "q63_decontaminate",
+    r"""
+    WITH w AS (
+      SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, is_bench,
+             unnest(list_transform(range(4, len(ws)+1),
+                    i -> ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+      FROM w),
+    bg AS (SELECT DISTINCT gram FROM g WHERE is_bench),
+    m AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS ns
+      FROM g JOIN bg USING (gram) WHERE NOT g.is_bench GROUP BY 1)
+    SELECT w.doc_id, CAST(coalesce(m.ns, 0) AS BIGINT) AS n_shared,
+           coalesce(m.ns, 0) > 0 AS contaminated
+    FROM w LEFT JOIN m USING (doc_id) WHERE NOT w.is_bench
+    """,
+)
+def q63(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix C protocol): docs sharing
+    any word 4-gram with the held eval slice (doc_id % 97 == 0) are
+    flagged; the eval gram set is broadcast so the corpus side never
+    shuffles on the gram key (operators/quality.py).  n=4 exercises real
+    matches on the synthetic corpus; production default is n=8."""
+    from .operators.quality import decontaminate
+
+    d = _t(spark, sf, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    return decontaminate(d.filter(~is_bench), d.filter(is_bench), n=4)
+
+
+@q(
+    "q64_lm_perplexity",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(2, len(ws)+1), i -> ws[i-1] || ' ' || ws[i])) AS bg
+      FROM w),
+    tb AS (SELECT bg, count(*) AS c2 FROM bg WHERE source = 'src0' GROUP BY 1),
+    tc AS (SELECT split_part(bg, ' ', 1) AS ctx, count(*) AS c1
+           FROM bg WHERE source = 'src0' GROUP BY 1),
+    vv AS (SELECT count(DISTINCT x) + 1 AS v
+           FROM (SELECT unnest(ws) AS x FROM w WHERE source = 'src0')),
+    sc AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             round(avg(-ln((coalesce(tb.c2, 0) + 1) * 1.0
+                           / (coalesce(tc.c1, 0) + vv.v))), 6) AS avg_nll
+      FROM bg b
+      LEFT JOIN tb USING (bg)
+      LEFT JOIN tc ON split_part(b.bg, ' ', 1) = tc.ctx
+      CROSS JOIN vv
+      GROUP BY 1)
+    SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.avg_nll
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q64(spark, sf):
+    """CCNet-style LM perplexity filter (Wenzek et al. 2019): add-1 bigram
+    LM fit on the src0 slice as pure DataFrame aggregates (distributed-fit
+    convention, operators/lm.py), every document scored by average negative
+    log-likelihood.  V rides the plan as a broadcast 1-row aggregate."""
+    from .operators.lm import bigram_lm_fit, bigram_lm_score
+
+    d = _t(spark, sf, "documents")
+    c2, c1, v = bigram_lm_fit(d.filter(F.col("source") == "src0"))
+    return bigram_lm_score(d, c2, c1, v)
+
+
+def _make_q65_sql(iters: int = 3) -> str:
+    """Oracle for host PageRank: the power iteration UNROLLED as one CTE per
+    step, generated from the same iteration count the engine runs — engine
+    and oracle cannot desync on the formula (the derived-oracle convention
+    from q56).  All rank arithmetic is CAST to DOUBLE (DuckDB decimal
+    literals would otherwise run the recurrence in DECIMAL)."""
+    step = """
+    r{i} AS (
+      SELECT nodes.host,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(s.sm, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS host, sum(rp.r / deg.deg) AS sm
+        FROM e JOIN deg USING (src) JOIN r{p} rp ON rp.host = e.src
+        GROUP BY 1) s USING (host))"""
+    steps = ",".join(step.format(i=i + 1, p=i) for i in range(iters))
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT 'h' || CAST(l_suppkey % 40 AS VARCHAR) AS src,
+                      'h' || CAST(l_partkey % 40 AS VARCHAR) AS dst
+      FROM lineitem),
+    nodes AS (SELECT src AS host FROM e UNION SELECT dst AS host FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+    {steps}
+    SELECT host, round(r, 6) AS rank FROM r{iters}
+    """
+
+
+@q("q65_host_pagerank", _make_q65_sql(3))
+def q65(spark, sf):
+    """Host-graph PageRank (3 power iterations, d=0.85) — the real version
+    of the priority score's host-authority proxy (reference
+    url_prioritizer.py domain weighting; operators/graph.py).  The host
+    link graph is synthesized from lineitem by identical expressions on
+    both sides (crawl-query convention)."""
+    from .operators.graph import host_pagerank
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 40).cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 40).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return host_pagerank(edges, iters=3, damping=0.85)
+
+
+# =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
 # order; with 54 registered, four fall outside.  Put the newest,
@@ -2686,6 +2866,10 @@ _WINDOW_HEAD = [
     "q56_bm25_english_analyzer",
     "q60_neardup_components",
     "q61_quota_sample",
+    "q62_gopher_repetition",
+    "q63_decontaminate",
+    "q64_lm_perplexity",
+    "q65_host_pagerank",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -2694,6 +2878,18 @@ _WINDOW_TAIL = [
     # q60/q61 added (still fully local-oracle-checked like every tail entry).
     "q05_events_daily",
     "q21_token_count",
+    # r4 additions q62-q64 push three more redundantly-evidenced entries
+    # out: A4's word-split+count shape is exercised by q15 (same split, same
+    # agg plus ranking); q23 is the documented small-n baseline whose scale
+    # path IS q26's MinHash-LSH; q24 brute-force cosine is literally the
+    # oracle definition of the ANN family driver-evidenced by q29/q47/q49.
+    "q14_word_freq",
+    "q23_ngram_jaccard_pairs",
+    "q24_cosine_topk",
+    # q65 displaces q07: F1 scheme-normalize is a sub-step of the F8
+    # canonicalizer (idempotence property + sim byte-parity) and the URL
+    # function family keeps driver evidence via q08.
+    "q07_url_normalize",
     "q01_pricing_summary",
     "q02_top_sources",
     "q03_revenue_by_nation",

@@ -52,6 +52,11 @@ HEADLINE = [
     "q53_ols_embedding_rank",
     "q54_bm25_best_fields",
     "q56_bm25_english_analyzer",
+    "q61_quota_sample",
+    "q62_gopher_repetition",
+    "q63_decontaminate",
+    "q64_lm_perplexity",
+    "q65_host_pagerank",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

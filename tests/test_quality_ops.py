@@ -1,0 +1,100 @@
+"""Corpus-quality gates (operators/quality.py) and the bigram LM filter
+(operators/lm.py) against hand-computed fixtures.  The full DuckDB oracle
+parity for q62/q63/q64 runs in test_queries_oracle.py."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from adavnceseo_crawler_spark.operators.quality import gopher_repetition
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),   # bigrams ab×3 ba×2; trigrams aba×2 bab×2
+            (2, long_doc),        # 60 distinct words, passes every gate
+            (3, "1 2 3"),         # no alphabetic words
+            (4, "x"),             # single word: no grams at all
+            (5, ""),              # empty text
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+
+    assert out[1]["n_words"] == 6
+    assert out[1]["top_bigram_frac"] == 0.6          # 3 of 5 bigrams
+    assert out[1]["dup_trigram_frac"] == 1.0         # all 4 trigrams dup
+    assert out[1]["keep"] is False                   # n_words < 50
+
+    assert out[2]["n_words"] == 60
+    assert out[2]["top_bigram_frac"] == round(1 / 59, 6)
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["alpha_word_frac"] == 1.0
+    assert out[2]["keep"] is True
+
+    assert out[3]["alpha_word_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.5          # 2 distinct of 2
+    assert out[3]["keep"] is False
+
+    for d in (4, 5):                                 # gram-free docs
+        assert out[d]["top_bigram_frac"] == 0.0
+        assert out[d]["dup_trigram_frac"] == 0.0
+        assert out[d]["keep"] is False
+    assert out[4]["n_words"] == 1 and out[5]["n_words"] == 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    from adavnceseo_crawler_spark.operators.quality import decontaminate
+
+    bench = _docs(spark, [(100, "p q r s t u v w x")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "z z q r s t z"),  # shares exactly {q r s t}
+            (2, "m n o p"),        # clean
+            (3, "p q r s t"),      # shares {p q r s, q r s t}
+            (4, "hi"),             # too short for any 4-gram
+        ],
+    )
+    out = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=4).collect()}
+    assert out == {1: (1, True), 2: (0, False), 3: (2, True), 4: (0, False)}
+
+
+def test_bigram_lm_hand_computed(spark):
+    from adavnceseo_crawler_spark.operators.lm import (
+        bigram_lm_fit,
+        bigram_lm_score,
+    )
+
+    train = _docs(spark, [(0, "a b a b")])  # c2: ab 2, ba 1; c1: a 2, b 1; V=3
+    c2, c1, v = bigram_lm_fit(train)
+    assert {(r["bg"], r["c2"]) for r in c2.collect()} == {("a b", 2), ("b a", 1)}
+    assert {(r["ctx"], r["c1"]) for r in c1.collect()} == {("a", 2), ("b", 1)}
+    assert v.collect()[0]["v"] == 3
+
+    corpus = _docs(spark, [(1, "a b c"), (2, "z")])
+    out = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+           for r in bigram_lm_score(corpus, c2, c1, v).collect()}
+    # P(b|a) = (2+1)/(2+3) = 0.6 ; P(c|b) = (0+1)/(1+3) = 0.25
+    want = round((-math.log(0.6) - math.log(0.25)) / 2, 6)
+    assert out[1] == (2, want)
+    assert out[2] == (0, None)
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus stream as a broadcast
+    join — the corpus side never shuffles on the gram key."""
+    from adavnceseo_crawler_spark.operators.quality import decontaminate
+
+    bench = _docs(spark, [(100, "p q r s t u v w x")])
+    corpus = _docs(spark, [(1, "z z q r s t z")])
+    plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
