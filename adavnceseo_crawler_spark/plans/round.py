@@ -310,21 +310,24 @@ def run_round(
         .filter(link_keep_predicate(F.col("link")))
     )
     # first-enqueue-wins across parents: min depth per link (adopted semantics).
-    # the link count rides along as an OBSERVATION filled by the dedup
-    # count's query — a standalone count() job here is pure fixed cost that
-    # does not shrink with cores (scaling decomposition: ~1-2s launch
-    # latency per job at every level)
+    # The dedup group keys on url_hash (sha2 of the canonical link, 1:1 with
+    # it) rather than the link string, so the aggregate's HashPartitioning
+    # IS the anti-join key downstream — Catalyst reuses the exchange instead
+    # of re-shuffling the candidate side a second time.  min("link") per
+    # hash is the unique canonical link for that hash (first-enqueue depth
+    # still via min).
     from pyspark.sql import Observation
 
     obs_links = Observation()
     new_cand = (
-        links.groupBy("link")
-        .agg((F.min("depth") + 1).cast("int").alias("depth"))
-        .withColumnRenamed("link", "url")
-        .withColumn("url_hash", url_hash(F.col("url")))
+        links.withColumn("url_hash", url_hash(F.col("link")))
+        .groupBy("url_hash")
+        .agg(
+            F.min("link").alias("url"),
+            (F.min("depth") + 1).cast("int").alias("depth"),
+        )
         .withColumn("host", host_col(F.col("url")))
         .select("url", "url_hash", "host", "depth")
-        .observe(obs_links, F.count(F.lit(1)).alias("n"))
     )
     tick("fetch_parse_links")
 
@@ -336,7 +339,9 @@ def run_round(
         on_barrier()
         tick("settle_prev")
 
+    _dedup_caches: list = []
     if cfg.use_bloom:
+        new_cand = new_cand.observe(obs_links, F.count(F.lit(1)).alias("n"))
         params = bloomops.BloomParams(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_buckets)
         shards = cat.read("bloom_shards")
         survivors, new_shards = bloomops.filter_and_update(new_cand, shards, params)
@@ -344,14 +349,38 @@ def run_round(
         n_new = survivors.count()
         cat.commit("bloom_shards", new_shards.withColumn("round", F.lit(round_no + 1)),
                    mode="overwrite", meta={"round": round_no})
+        # the survivors count above also filled obs_links (new_cand feeds it)
+        n_links = int(obs_links.get["n"])
+    elif cfg.dedup_probe:
+        # seen-side SCAN, never a seen-side shuffle: url_seen grows every
+        # round (O(total URLs crawled)), so the classic left-anti shuffles
+        # an ever-growing table on every round.  Instead (1) semi-probe the
+        # seen scan with the broadcast candidate hashes — map-side, column-
+        # pruned to url_hash — producing `hits` (bounded by the candidate
+        # count, not the seen count), then (2) broadcast-anti new_cand vs
+        # hits.  Both broadcasts are bounded by THIS round's candidate set;
+        # beyond the ~10^7-candidates-per-round regime use_bloom is the
+        # documented scale path (config.py).
+        seen = cat.read("url_seen") or _empty(spark, schemas.URL_SEEN)
+        new_cand = new_cand.cache()
+        _dedup_caches.append(new_cand)
+        n_links = new_cand.count()
+        hits = seen.select("url_hash").join(
+            F.broadcast(new_cand.select("url_hash")), "url_hash", "left_semi"
+        )
+        survivors = new_cand.join(
+            F.broadcast(hits), "url_hash", "left_anti"
+        ).cache()
+        n_new = survivors.count()
     else:
+        new_cand = new_cand.observe(obs_links, F.count(F.lit(1)).alias("n"))
         seen = cat.read("url_seen") or _empty(spark, schemas.URL_SEEN)
         survivors = new_cand.join(
             seen.select("url_hash"), "url_hash", "left_anti"
         ).cache()
         n_new = survivors.count()
-    # the survivors count above also filled obs_links (new_cand feeds it)
-    n_links = int(obs_links.get["n"])
+        # the survivors count above also filled obs_links (new_cand feeds it)
+        n_links = int(obs_links.get["n"])
     tick("dedup")
 
     # ---- metrics (per-partition lineage, north_rule) --------------------------------
@@ -592,7 +621,7 @@ def run_round(
     if raw_fetch is not None:
         deferred_caches.append(raw_fetch)
     pending = cat.commit_many_async(deferred, unpersist=deferred_caches)
-    for df in (frontier, cand, scheduled,
+    for df in (frontier, cand, scheduled, *_dedup_caches,
                *(c for c in _sched_caches if c is not scheduled)):
         try:
             df.unpersist()
