@@ -264,3 +264,42 @@ def test_frontier_base_shuffles_once_through_tombstone_and_enrich(spark, tmp_pat
         assert ", round#" not in keyspec, plan
     # row-level sanity: enrich output preserves the resolved frontier rows
     assert cand.count() == 40
+
+
+def test_dedup_probe_never_shuffles_seen(spark, tmp_path):
+    """The exact-dedup probe path (round.py, cfg.dedup_probe): url_seen must
+    be SCANNED and probed via broadcast, never shuffled — its per-round cost
+    would otherwise grow O(total URLs crawled).  Pins both halves: the semi
+    probe against the seen scan and the anti-join back are BroadcastHashJoins,
+    and no Exchange sits between the parquet scan and the semi probe."""
+    from adavnceseo_crawler_spark.functions.urls import url_hash
+
+    seen_path = str(tmp_path / "seen")
+    spark.range(5000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("url_hash")
+    ).write.parquet(seen_path)
+    seen = spark.read.parquet(seen_path)
+    cand = (
+        spark.range(500)
+        .select(
+            F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url")
+        )
+        .withColumn("url_hash", url_hash(F.col("url")))
+        .groupBy("url_hash")
+        .agg(F.min("url").alias("url"))
+        .cache()
+    )
+    cand.count()
+    hits = seen.select("url_hash").join(
+        F.broadcast(cand.select("url_hash")), "url_hash", "left_semi"
+    )
+    surv = cand.join(F.broadcast(hits), "url_hash", "left_anti")
+    assert _plan(surv).count("BroadcastHashJoin") >= 2, _plan(surv)
+    # the streamed (seen) side of the semi probe — everything printed between
+    # the join node and its BroadcastExchange child — must be the parquet
+    # scan itself, column-pruned to url_hash, with no shuffle in between
+    hplan = _plan(hits)
+    streamed = hplan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "FileScan parquet" in streamed and "Exchange" not in streamed, hplan
+    assert "struct<url_hash:string>" in streamed, hplan
+    cand.unpersist()
