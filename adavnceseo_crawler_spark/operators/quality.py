@@ -178,3 +178,63 @@ def decontaminate(
             (F.coalesce(F.col("_ns"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-passage statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    n-token spans across documents are memorization fuel; suffix-array
+    ExactSubstr is the paper's tool, and the distributed approximation is
+    gram-level counting).  Output per document: ``n_grams`` (distinct word
+    n-grams), ``n_shared`` (those appearing in >= 2 distinct documents),
+    ``shared_frac``.
+
+    Scale shape — ONE pass over the gram stream: (1) per-doc DISTINCT grams,
+    a shuffle keyed by (doc_id, gram); (2) document frequency as
+    ``count().over(Window.partitionBy(gram))`` — a join of the gram stream
+    back to a groupBy(gram) count would re-generate and re-shuffle the whole
+    stream a second time (plan-verified: 6 exchanges, two Generate nodes vs
+    this shape's 3 and one); (3) final groupBy(doc_id).  At 100 TB the gram
+    string would be replaced by a 64-bit hash before the shuffles and
+    stopword-only grams (the hot keys of the gram partitioning) dropped
+    up-front (documented; kept as the string here so the DuckDB oracle
+    replays the pipeline verbatim).
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        df.select(
+            F.col(id_col), words_col(F.col(text_col)).alias("_ws")
+        )
+        .select(id_col, F.explode(F.expr(_grams_expr("_ws", n))).alias("gram"))
+        .distinct()
+    )
+    flagged = grams.select(
+        id_col,
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("gram")) >= 2
+        ).cast("int").alias("_shared"),
+    )
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("_shared").cast("long").alias("n_shared"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

@@ -2849,6 +2849,108 @@ def q65(spark, sf):
     return host_pagerank(edges, iters=3, damping=0.85)
 
 
+@q(
+    "q66_url_template_traps",
+    r"""
+    WITH u AS (
+      SELECT 'https://h' || CAST(l_suppkey % 40 AS VARCHAR) || '.example.com'
+             || CASE CAST(l_linenumber % 3 AS INT)
+                  WHEN 0 THEN '/cal/' || CAST(l_orderkey % 12 AS VARCHAR)
+                              || '/' || CAST(l_orderkey AS VARCHAR)
+                  WHEN 1 THEN '/item/' || CAST(l_partkey AS VARCHAR)
+                  ELSE '/s/' || md5(CAST(l_orderkey AS VARCHAR))
+                END AS url
+      FROM lineitem),
+    t AS (
+      SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+             regexp_replace(
+               regexp_replace(
+                 coalesce(nullif(regexp_extract(url, '^https?://[^/]*(/.*)$', 1), ''), '/'),
+                 '[0-9a-f]{8,}', 'H', 'g'),
+               '[0-9]+', 'N', 'g') AS template,
+             url
+      FROM u)
+    SELECT host, template, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+           count(DISTINCT url) >= 50 AS trap
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q66(spark, sf):
+    """Crawler-trap detection via URL-template mining (operators/urlmine.py):
+    digit runs -> N, long hex runs -> H; a (host, template) cell holding
+    >= threshold distinct URLs is a generated URL space that would absorb
+    the frontier.  The scale guard the reference's F6 hygiene filter
+    (html_parser.py:140-155) lacks.  URL corpus synthesized from lineitem
+    by identical expressions on both sides (crawl-query convention)."""
+    from .operators.urlmine import mine_url_templates
+
+    li = _t(spark, sf, "lineitem")
+    path = (
+        F.when(
+            (F.col("l_linenumber") % 3).cast("int") == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (F.col("l_orderkey") % 12).cast("string"),
+                F.lit("/"),
+                F.col("l_orderkey").cast("string"),
+            ),
+        )
+        .when(
+            (F.col("l_linenumber") % 3).cast("int") == 1,
+            F.concat(F.lit("/item/"), F.col("l_partkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("/s/"), F.md5(F.col("l_orderkey").cast("string")))
+        )
+    )
+    urls = li.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("l_suppkey") % 40).cast("string"),
+            F.lit(".example.com"),
+            path,
+        ).alias("url")
+    )
+    return mine_url_templates(urls, threshold=50)
+
+
+@q(
+    "q67_repeated_passages",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(4, len(ws)+1),
+                    i -> ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+      FROM w),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    df AS (SELECT gram, count(*) AS dfq FROM g GROUP BY 1),
+    st AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN df.dfq >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM g JOIN df USING (gram) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(st.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(st.n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(st.n_shared, 0) * 1.0
+                 / greatest(coalesce(st.n_grams, 0), 1), 6) AS shared_frac
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+)
+def q67(spark, sf):
+    """Cross-document repeated-passage statistics (Lee et al. 2021
+    ExactSubstr's distributed gram-level approximation,
+    operators/quality.py:repeated_passages): distinct word 4-grams per doc,
+    the count appearing in >= 2 documents, and the shared fraction.  The
+    doc-frequency join reuses the groupBy(gram) exchange."""
+    from .operators.quality import repeated_passages
+
+    return repeated_passages(_t(spark, sf, "documents"), n=4)
+
+
 # =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
@@ -2870,6 +2972,8 @@ _WINDOW_HEAD = [
     "q63_decontaminate",
     "q64_lm_perplexity",
     "q65_host_pagerank",
+    "q66_url_template_traps",
+    "q67_repeated_passages",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -2890,6 +2994,12 @@ _WINDOW_TAIL = [
     # canonicalizer (idempotence property + sim byte-parity) and the URL
     # function family keeps driver evidence via q08.
     "q07_url_normalize",
+    # q66/q67 displace two more redundantly-evidenced entries: q18's TF
+    # search score is the documented approximation whose real versions are
+    # the driver-evidenced BM25 family (q46/q54/q56); q25's labeled
+    # crossJoin is the oracle baseline whose scale paths are q29/q47/q49.
+    "q18_search_score",
+    "q25_neardup_cosine_pairs",
     "q01_pricing_summary",
     "q02_top_sources",
     "q03_revenue_by_nation",

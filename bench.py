@@ -57,6 +57,8 @@ HEADLINE = [
     "q63_decontaminate",
     "q64_lm_perplexity",
     "q65_host_pagerank",
+    "q66_url_template_traps",
+    "q67_repeated_passages",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

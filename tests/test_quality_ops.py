@@ -98,3 +98,90 @@ def test_decontaminate_broadcasts_benchmark(spark):
     corpus = _docs(spark, [(1, "z z q r s t z")])
     plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_repeated_passages_planted(spark):
+    """Planted shared passage: docs 1 and 2 share one 4-gram ("a b c d"),
+    doc 3 shares nothing, doc 4 is too short for any 4-gram."""
+    from adavnceseo_crawler_spark.operators.quality import repeated_passages
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "p q a b c d"),
+            (3, "one two three four five"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repeated_passages(df, n=4).collect()}
+    assert rows[1]["n_grams"] == 4 and rows[1]["n_shared"] == 1
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_shared"] == 1
+    assert rows[3]["n_grams"] == 2 and rows[3]["n_shared"] == 0
+    assert rows[4]["n_grams"] == 0 and rows[4]["shared_frac"] == 0.0
+    assert abs(rows[1]["shared_frac"] - 0.25) < 1e-9
+
+
+def test_repeated_passages_within_doc_repeat_not_shared(spark):
+    """A gram repeated WITHIN one doc is not cross-doc shared (distinct
+    grams per doc before the doc-frequency count)."""
+    from adavnceseo_crawler_spark.operators.quality import repeated_passages
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "nothing in common here at all")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repeated_passages(df, n=4).collect()}
+    assert rows[1]["n_shared"] == 0
+
+
+def test_url_template_traps_planted(spark):
+    """Planted trap: 60 calendar URLs collapse to one template on one host;
+    3 article URLs on another host stay under threshold.  Hex session ids
+    collapse to H."""
+    from pyspark.sql import functions as F
+    from adavnceseo_crawler_spark.operators.urlmine import mine_url_templates
+
+    cal = spark.range(60).select(
+        F.concat(
+            F.lit("https://trap.example.com/cal/2024/"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+    art = spark.createDataFrame(
+        [
+            ("https://ok.example.com/about",),
+            ("https://ok.example.com/contact",),
+            ("https://ok.example.com/s/0123456789abcdef0123456789abcdef",),
+        ],
+        "url string",
+    )
+    out = {
+        (r["host"], r["template"]): r
+        for r in mine_url_templates(cal.union(art), threshold=50).collect()
+    }
+    trap = out[("trap.example.com", "/cal/N/N")]
+    assert trap["n_urls"] == 60 and trap["trap"]
+    assert ("ok.example.com", "/s/H") in out
+    assert not out[("ok.example.com", "/s/H")]["trap"]
+    assert not out[("ok.example.com", "/about")]["trap"]
+
+
+def test_repeated_passages_single_gram_pass(spark):
+    """Doc frequency rides a window over the gram partitioning — the gram
+    stream is generated ONCE and shuffled at most 3 times ((doc_id,gram)
+    distinct, gram window, doc_id rollup).  A groupBy+join-back shape
+    regresses to two Generate nodes and 6 exchanges."""
+    from adavnceseo_crawler_spark.operators.quality import repeated_passages
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h")], "doc_id long, text string"
+    )
+    plan = (
+        repeated_passages(df, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
