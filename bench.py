@@ -59,6 +59,8 @@ HEADLINE = [
     "q65_host_pagerank",
     "q66_url_template_traps",
     "q67_repeated_passages",
+    "q68_chunk_documents",
+    "q69_token_budget_mix",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
