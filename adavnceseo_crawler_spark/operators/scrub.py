@@ -1,0 +1,82 @@
+"""Text scrubbing: PII redaction + unicode normalization.
+
+Standard curation passes between crawl and training (task-mandated
+LLM-pipeline surface; no reference analog):
+
+* **PII redaction**: replace emails, IPv4 addresses, and international
+  phone numbers with typed placeholder tokens and count each (the C4 /
+  RefinedWeb-style pre-release scrub).  Pure JVM ``regexp_replace`` /
+  ``regexp_count`` chains — linear single-pass codegen, no Python, no
+  shuffle; patterns are RE2-compatible so the DuckDB oracle runs them
+  verbatim.
+
+* **NFC normalization**: canonical-compose the text (combining marks ->
+  precomposed forms) so tokenizers see one byte sequence per grapheme.
+  Unicode normalization has no JVM built-in in Spark SQL, so this is an
+  Arrow-batched pandas UDF over ``unicodedata.normalize`` — the documented
+  slow path, row-local and shuffle-free (oracle: DuckDB's
+  ``nfc_normalize``, same Unicode standard).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# RE2-safe (no lookaround/backrefs): identical semantics in Java regex
+# (Spark) and DuckDB.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{7,15}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, scrubbed).  Emails are redacted
+    before IPv4 (an address's host part may contain a dotted quad);
+    phones last (plus-prefixed digit runs only, so dates and dotted quads
+    never match)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def nfc_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x), na_action="ignore"
+    )
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, normalized, changed, n_chars_before, n_chars_after)."""
+    t = F.col(text_col)
+    out = df.select(F.col(id_col), t.alias("_t"), nfc_udf(t).alias("normalized"))
+    return out.select(
+        id_col,
+        "normalized",
+        (F.col("_t") != F.col("normalized")).alias("changed"),
+        F.length("_t").cast("long").alias("n_chars_before"),
+        F.length("normalized").cast("long").alias("n_chars_after"),
+    )

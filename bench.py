@@ -61,6 +61,7 @@ HEADLINE = [
     "q67_repeated_passages",
     "q68_chunk_documents",
     "q69_token_budget_mix",
+    "q70_pii_scrub",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

@@ -185,3 +185,36 @@ def test_repeated_passages_single_gram_pass(spark):
     )
     assert plan.count("Generate explode") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_scrub_pii_planted(spark):
+    from adavnceseo_crawler_spark.operators.scrub import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co then ip 10.0.3.5 call +15551234 end"),
+            (2, "date 2024-01-02 version 1.2.3.4.5 nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 1, 1)
+    assert r1["scrubbed"] == "mail <EMAIL> then ip <IP> call <PHONE> end"
+    r2 = rows[2]
+    # 1.2.3.4.5: the first dotted quad matches (\b boundaries are digits
+    # vs dot); dates and bare numbers never do
+    assert r2["n_emails"] == 0 and r2["n_phones"] == 0
+
+
+def test_nfc_normalize_composes(spark):
+    from adavnceseo_crawler_spark.operators.scrub import nfc_normalize
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in nfc_normalize(df).collect()}
+    assert rows[1]["normalized"] == "café"
+    assert rows[1]["changed"] and rows[1]["n_chars_before"] == 5
+    assert rows[1]["n_chars_after"] == 4
+    assert not rows[2]["changed"]
