@@ -559,7 +559,11 @@ def neardup_components(
                     "comp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence-sum action below materializes
+            # (and caches) it in the same job — one job per iteration, not
+            # an eager-checkpoint job plus a sum job (halves the fixed
+            # job-launch cost that dominates small-corpus walls)
+            .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("comp")).first()[0]
         if s == prev_sum:
