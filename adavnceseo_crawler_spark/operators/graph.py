@@ -14,11 +14,15 @@ signal (Page et al. 1999; used host-level by every production crawler).
 Scale shape: each iteration is one join (edges ⋈ ranks on src — both sides
 partitioned by the join key, so successive iterations reuse the exchange)
 and one groupBy(dst) sum — map-side-combinable.  ``N`` rides the plan as a
-broadcast 1-row aggregate (the q53 pattern, no separate count job).  Ranks
-are persisted per iteration and the previous iteration unpersisted, so the
-lineage stays one-iteration deep (at 10^8 hosts a checkpoint every ~5
-iterations bounds the DAG; 3-5 iterations already separate authority tiers
-for crawl scheduling).
+broadcast 1-row aggregate (the q53 pattern, no separate count job).
+``edges``/``nodes``/``deg`` are persisted lazily (populated by the first
+stage of whatever action the caller runs, then reused by every iteration in
+the same job), and ranks are force-materialized only every
+``materialize_every`` iterations — so a short power iteration (3-5 rounds,
+already enough to separate authority tiers for crawl scheduling) is a
+SINGLE Spark job at the caller's action, while deep runs still bound their
+lineage/plan depth (at 10^8 hosts the periodic cut is what keeps the DAG
+and analysis time constant per iteration).
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ def host_pagerank(
     src: str = "src",
     dst: str = "dst",
     persist: bool = True,
+    materialize_every: int = 5,
 ) -> DataFrame:
     """PageRank over distinct ``(src, dst)`` host edges; returns
     ``(host, rank)`` with rank rounded to 6 dp (hash-parity convention).
@@ -44,18 +49,21 @@ def host_pagerank(
         .union(e.select(F.col(dst).alias("host")))
         .distinct()
     )
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     if persist:
+        # lazy: populated by the first stage that touches them inside the
+        # caller's action, then shared by all iterations of the same job
         e = e.persist()
         nodes = nodes.persist()
+        deg = deg.persist()
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     d = float(damping)
 
     ranks = nodes.join(F.broadcast(n1)).select(
         "host", (F.lit(1.0) / F.col("_n")).alias("_r")
     )
     prev = None
-    for _ in range(iters):
+    for it in range(1, iters + 1):
         contribs = (
             e.join(deg, src)
             .join(ranks, F.col(src) == F.col("host"))
@@ -77,7 +85,9 @@ def host_pagerank(
                 ).alias("_r"),
             )
         )
-        if persist:
+        # periodic lineage cut only — mid-loop jobs are what dominate the
+        # wall at small scale, so short runs never launch one
+        if persist and it % materialize_every == 0 and it < iters:
             ranks = ranks.persist()
             ranks.count()  # materialize before dropping the parent
             if prev is not None:
