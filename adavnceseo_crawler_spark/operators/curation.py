@@ -107,3 +107,59 @@ def token_budget_mix(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign documents, in ``id_col``
+    order within each shard, to fixed token-capacity training contexts
+    (Raffel et al. 2020 "packing"; every pretraining pipeline's last step
+    before tokenized shards are written).
+
+    Rule: a document opens a new pack iff adding it would overflow the
+    current pack (``fill + n > capacity``); a document longer than
+    ``capacity`` therefore sits alone in an oversize pack of one (chunk
+    first with ``chunk_documents`` if that is not wanted).  Output:
+    ``shard, doc_id, n_tokens, pack_id (0-based per shard), pack_fill``
+    (running fill *after* adding this doc).
+
+    Scale shape: packing is inherently sequential *within* a shard — that
+    is its semantics, the parallel unit is the shard (at 100 TB use a
+    bounded composite shard key, e.g. source × input-file bucket, so every
+    group fits one task).  Only ``(doc_id, n_tokens)`` enters the
+    applyInPandas group — 16 bytes/row over Arrow, never the text — and
+    the token counting itself stays JVM-side.
+    """
+    cap = int(capacity)
+    counted = df.select(
+        F.col(shard_col).cast("string").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pid, fill = -1, 0
+        pids, fills = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if pid < 0 or fill + n > cap:
+                pid += 1
+                fill = n
+            else:
+                fill += n
+            pids.append(pid)
+            fills.append(fill)
+        return pdf.assign(pack_id=pids, pack_fill=fills).astype(
+            {"pack_id": "int32", "pack_fill": "int64"}
+        )
+
+    return counted.groupBy("shard").applyInPandas(
+        pack,
+        "shard string, doc_id long, n_tokens long, pack_id int, pack_fill long",
+    )

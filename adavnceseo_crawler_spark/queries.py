@@ -3114,6 +3114,181 @@ def q71(spark, sf):
     return nfc_normalize(planted)
 
 
+_Q72_BOILER = (
+    "subscribe to our newsletter for the latest updates and offers please "
+    "accept all cookies before continuing to browse this site content "
+    "provided by the partner network all rights reserved see terms privacy "
+    "help contact pages"
+)
+
+
+@q(
+    "q72_corpus_pipeline",
+    rf"""
+    WITH p AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 13 = 0 THEN '{_Q72_BOILER}'
+                  ELSE text END AS text
+      FROM documents),
+    d0 AS (SELECT * FROM p WHERE lang IN ('en', 'es')),
+    dd AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM d0) WHERE rn = 1),
+    w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM dd),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+      FROM w),
+    g AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(2, len(ws)+1),
+                    i -> ws[i-1] || ' ' || ws[i])) AS gram
+      FROM w
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(3, len(ws)+1),
+                    i -> ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i])) AS gram
+      FROM w),
+    gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    st AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN c END) AS max_bg,
+             sum(CASE WHEN n = 2 THEN c END) AS tot_bg,
+             sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup_tg,
+             sum(CASE WHEN n = 3 THEN c END) AS tot_tg
+      FROM gc GROUP BY 1),
+    kept AS (
+      SELECT dd.doc_id, dd.source
+      FROM dd JOIN base USING (doc_id) LEFT JOIN st USING (doc_id)
+      WHERE base.n_words >= 30 AND base.n_words <= 100000
+        AND round(coalesce(st.max_bg * 1.0 / st.tot_bg, 0.0), 6) <= 0.06
+        AND round(coalesce(st.dup_tg * 1.0 / st.tot_tg, 0.0), 6) <= 0.0
+        AND round(base.n_alpha * 1.0 / greatest(base.n_words, 1), 6) >= 0.8
+        AND dd.doc_id % 97 <> 0),
+    bg4 AS (
+      SELECT DISTINCT unnest(list_transform(range(4, len(ws)+1),
+             i -> ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]))
+             AS gram
+      FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM p WHERE doc_id % 97 = 0)),
+    kg AS (
+      SELECT w.doc_id,
+             unnest(list_transform(range(4, len(ws)+1),
+                    i -> ws[i-3] || ' ' || ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]))
+             AS gram
+      FROM w JOIN kept USING (doc_id)),
+    cont AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg4 USING (gram)),
+    clean AS (
+      SELECT kept.source, kept.doc_id FROM kept
+      WHERE kept.doc_id NOT IN (SELECT doc_id FROM cont)),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM clean)
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 12
+    """,
+)
+def q72(spark, sf):
+    """END-TO-END corpus construction as ONE composed Spark plan — the
+    pipeline every pretraining corpus actually runs, chained from the
+    already-verified operators: language filter → exact dedup (boilerplate
+    planted on doc_id % 13, the q70 convention — the dup group collapses to
+    its min-id canonical) → Gopher repetition gate → benchmark
+    decontamination (doc_id % 97 eval slice, word 4-grams, broadcast) →
+    stratified quota sample (12/source, two-stage prefilter plan).  The lang
+    filter pushes to the scan, the gram explodes stay keyed by doc_id, and
+    both small sides (eval grams, stratum counts) broadcast.  The deduped /
+    gated / decontaminated frames are PERSISTED pipeline barriers — each
+    stage's output is referenced by several downstream subplans (gopher
+    reads its input twice, decontamination three times, the sampler's
+    prefilter four), and without the cut Catalyst re-expands the whole
+    upstream chain per reference (measured: ~90 parquet scans of the corpus
+    in one plan).  In production each barrier is a written table (the
+    snapshot catalog's job); lazy persist is the single-query equivalent —
+    blocks are freed by the context cleaner when the frame is GC'd.  The
+    oracle replays every stage as CTEs."""
+    from .operators.dedup import exact_dedup
+    from .operators.quality import decontaminate, gopher_repetition
+    from .operators.sampling import quota_sample
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_Q72_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d0 = planted.filter(F.col("lang").isin("en", "es"))
+    dd = exact_dedup(d0).persist()
+    gate = gopher_repetition(
+        dd,
+        min_words=30,
+        max_top_bigram_frac=0.06,
+        max_dup_trigram_frac=0.0,
+        min_alpha_word_frac=0.8,
+    )
+    kept = (
+        dd.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
+        .filter(F.col("doc_id") % 97 != 0)
+        .persist()
+    )
+    bench = planted.filter(F.col("doc_id") % 97 == 0)
+    dec = decontaminate(kept, bench, n=4)
+    clean = kept.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    ).persist()
+    return quota_sample(clean, "source", 12, "doc_id", prefilter_factor=4.0)
+
+
+@q(
+    "q73_pack_sequences",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id) AS BIGINT) AS rn
+      FROM documents),
+    p AS (
+      SELECT shard, doc_id, n_tokens, rn,
+             0 AS pack_id, n_tokens AS pack_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.pack_fill + t.n_tokens > 128
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.pack_fill + t.n_tokens > 128
+                  THEN t.n_tokens ELSE p.pack_fill + t.n_tokens END
+      FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+    SELECT shard, doc_id, n_tokens,
+           CAST(pack_id AS INTEGER) AS pack_id,
+           CAST(pack_fill AS BIGINT) AS pack_fill
+    FROM p
+    """,
+)
+def q73(spark, sf):
+    """Sequence packing (operators/curation.py): greedy contiguous fill of
+    128-token training contexts per source shard, doc_id order.  The
+    sequential fold is the operator's semantics — the parallel unit is the
+    shard, and only (doc_id, n_tokens) crosses into Python (16 B/row Arrow
+    batches; token counting stays JVM-side).  The oracle replays the exact
+    fold as a DuckDB recursive CTE (one recursion level per in-shard row)."""
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), capacity=128)
+
+
 # =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
@@ -3141,6 +3316,8 @@ _WINDOW_HEAD = [
     "q69_token_budget_mix",
     "q70_pii_scrub",
     "q71_nfc_normalize",
+    "q72_corpus_pipeline",
+    "q73_pack_sequences",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -3196,6 +3373,11 @@ _WINDOW_TAIL = [
     "q30_multimodal_features",
     "q33_retry_backoff",
     "q44_entity_stub",
+    # q72/q73 displace: q41's URL feature flags are consumed verbatim by the
+    # driver-windowed blended ranks (q53, q48), and q32's set-dedup/union are
+    # single built-in array ops pinned by unit tests since round 1.
+    "q41_url_features",
+    "q32_set_ops",
 ]
 
 

@@ -62,6 +62,8 @@ HEADLINE = [
     "q68_chunk_documents",
     "q69_token_budget_mix",
     "q70_pii_scrub",
+    "q72_corpus_pipeline",
+    "q73_pack_sequences",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

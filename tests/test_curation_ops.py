@@ -70,3 +70,38 @@ def test_token_budget_mix_tiny_budget_keeps_one(spark):
     )
     rows = token_budget_mix(df, budget_tokens=1).collect()
     assert len(rows) == 1  # first-ranked doc crosses and is kept
+
+
+def test_pack_sequences_greedy_fill_and_oversize(spark):
+    """Greedy contiguous fill in doc_id order; an oversize doc sits alone in
+    an oversize pack; fill resets on overflow."""
+    from adavnceseo_crawler_spark.operators.curation import pack_sequences
+
+    docs = [
+        (1, "s", "w " * 60),   # 60 -> pack 0 (fill 60)
+        (2, "s", "w " * 60),   # 60 -> pack 0 (fill 120)
+        (3, "s", "w " * 20),   # 20 -> overflow -> pack 1 (fill 20)
+        (4, "s", "w " * 200),  # 200 > cap -> pack 2 alone (fill 200)
+        (5, "s", "w " * 5),    # pack 3 (fill 5): oversize pack never reused
+        (6, "t", "w " * 10),   # other shard packs independently from 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = {r["doc_id"]: r for r in pack_sequences(df, capacity=128).collect()}
+    assert (rows[1]["pack_id"], rows[1]["pack_fill"]) == (0, 60)
+    assert (rows[2]["pack_id"], rows[2]["pack_fill"]) == (0, 120)
+    assert (rows[3]["pack_id"], rows[3]["pack_fill"]) == (1, 20)
+    assert (rows[4]["pack_id"], rows[4]["pack_fill"]) == (2, 200)
+    assert (rows[5]["pack_id"], rows[5]["pack_fill"]) == (3, 5)
+    assert (rows[6]["pack_id"], rows[6]["pack_fill"]) == (0, 10)
+
+
+def test_pack_sequences_empty_text_joins_current_pack(spark):
+    from adavnceseo_crawler_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "s", "w w w"), (2, "s", "   "), (3, "s", "w")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, capacity=4).collect()}
+    assert (rows[2]["pack_id"], rows[2]["pack_fill"]) == (0, 3)  # 0 tokens
+    assert (rows[3]["pack_id"], rows[3]["pack_fill"]) == (0, 4)

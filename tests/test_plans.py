@@ -303,3 +303,17 @@ def test_dedup_probe_never_shuffles_seen(spark, tmp_path):
     assert "FileScan parquet" in streamed and "Exchange" not in streamed, hplan
     assert "struct<url_hash:string>" in streamed, hplan
     cand.unpersist()
+
+
+def test_corpus_pipeline_barriers_cached_and_lang_pushed(spark):
+    """q72: the dedup/gate/decontaminate stage outputs are persisted pipeline
+    barriers (downstream subplans read InMemoryTableScan, not a re-expanded
+    corpus scan), and the language filter reaches the parquet scan."""
+    from adavnceseo_crawler_spark.queries import QUERIES
+
+    df = QUERIES["q72_corpus_pipeline"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    assert "lang" in plan.split("PushedFilters")[1][:200], (
+        plan.split("PushedFilters")[1][:300]
+    )
