@@ -3289,6 +3289,72 @@ def q73(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), capacity=128)
 
 
+@q(
+    "q74_warc_ingest",
+    r"""
+    SELECT doc_id,
+           '<urn:uuid:' || substr(
+               sha256('https://doc.test/' || CAST(doc_id AS VARCHAR)
+                      || chr(0) || '2020-01-01T00:00:00Z'), 1, 32) || '>'
+             AS record_id,
+           'https://doc.test/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+)
+def q74(spark, sf):
+    """WARC container roundtrip (sources/warc.py): every document is
+    serialized as a WARC response record and re-parsed by the same
+    reader that ingests CommonCrawl segments; the oracle recomputes the
+    record id (sha256 of uri+NUL+date), status, mime, and payload byte
+    length from the generative formula WITHOUT touching the container —
+    the q57-q59 convention, so a build/parse bug cannot cancel out.  The
+    file-granularity path (binaryFile scan, member-per-record gzip,
+    truncation guards) is pinned by tests/test_warc_source.py."""
+    import pandas as pd
+
+    from .sources.warc import build_record, parse_warc_stream
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://doc.test/{doc_id}"
+                rec = build_record(url, str(text).encode())
+                (row,) = parse_warc_stream(rec)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "record_id": row["record_id"],
+                        "url": row["url"],
+                        "http_status": row["http_status"],
+                        "mime": row["mime"],
+                        "payload_bytes": len(row["payload"]),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "record_id",
+                    "url",
+                    "http_status",
+                    "mime",
+                    "payload_bytes",
+                ],
+            )
+
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id long, record_id string, url string, http_status int, "
+        "mime string, payload_bytes long",
+    )
+
+
 # =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
@@ -3318,6 +3384,7 @@ _WINDOW_HEAD = [
     "q71_nfc_normalize",
     "q72_corpus_pipeline",
     "q73_pack_sequences",
+    "q74_warc_ingest",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -3378,6 +3445,10 @@ _WINDOW_TAIL = [
     # single built-in array ops pinned by unit tests since round 1.
     "q41_url_features",
     "q32_set_ops",
+    # q74 displaces: q28's fingerprint UDF has a collision-freeness contract
+    # unit test, and the passage-fingerprint family keeps driver evidence
+    # via the windowed q67 repeated-passage stats.
+    "q28_fingerprint",
 ]
 
 

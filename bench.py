@@ -64,6 +64,7 @@ HEADLINE = [
     "q70_pii_scrub",
     "q72_corpus_pipeline",
     "q73_pack_sequences",
+    "q74_warc_ingest",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
