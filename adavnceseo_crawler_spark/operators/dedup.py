@@ -585,3 +585,56 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-corpus line deduplication (Raffel et al. 2020 §2.2):
+    every line survives only at its FIRST occurrence in the corpus (min
+    ``id_col``, then min position within the document); all later copies —
+    boilerplate footers, cookie banners, repeated navigation — are removed
+    and each document is reassembled from its surviving lines in order.
+
+    Output: ``doc_id, n_lines, kept_lines, new_text`` for EVERY input row
+    (``new_text = ''`` when nothing survives).
+
+    Scale shape: one posexplode, one window keyed by the line text (the
+    only shuffle — at 100 TB key by ``xxhash64(line)`` instead to shrink
+    shuffle rows to 8-byte keys; collision risk is the standard birthday
+    bound), then a groupBy(doc) reassembly keyed like the explode, and a
+    final join back to the per-doc base.  No driver-side state.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("new_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

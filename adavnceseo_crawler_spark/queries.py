@@ -3355,6 +3355,64 @@ def q74(spark, sf):
     )
 
 
+_Q75_F1 = "subscribe to the newsletter footer"
+_Q75_F2 = "all rights reserved footer"
+
+
+@q(
+    "q75_line_dedup",
+    rf"""
+    WITH p AS (
+      SELECT doc_id, text || chr(10) || '{_Q75_F1}' ||
+             CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_Q75_F2}'
+                  ELSE '' END AS text
+      FROM documents),
+    s AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM p),
+    lf AS (
+      SELECT doc_id, st.pos AS pos, st.line AS line FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+               i -> {{'pos': i-1, 'line': ls[i]}})) AS st
+        FROM s)),
+    k AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lf),
+    agg AS (
+      SELECT doc_id,
+             count(*) FILTER (WHERE rn = 1) AS kept_lines,
+             string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE rn = 1) AS new_text
+      FROM k GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM s)
+    SELECT b.doc_id, b.n_lines,
+           CAST(coalesce(a.kept_lines, 0) AS BIGINT) AS kept_lines,
+           coalesce(a.new_text, '') AS new_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q75(spark, sf):
+    """C4-style cross-corpus line dedup (operators/dedup.py line_dedup):
+    boilerplate footers planted on every doc (+ a second on doc_id % 4)
+    survive only at their first (min doc_id, min pos) occurrence; documents
+    are reassembled from surviving lines in order.  One explode + one
+    line-keyed window + one doc-keyed reassembly — the oracle replays the
+    same first-occurrence rule as a window over exploded lines."""
+    from .operators.dedup import line_dedup
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _Q75_F1),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\n" + _Q75_F2)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(planted)
+
+
 # =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
@@ -3385,6 +3443,7 @@ _WINDOW_HEAD = [
     "q72_corpus_pipeline",
     "q73_pack_sequences",
     "q74_warc_ingest",
+    "q75_line_dedup",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -3449,6 +3508,9 @@ _WINDOW_TAIL = [
     # unit test, and the passage-fingerprint family keeps driver evidence
     # via the windowed q67 repeated-passage stats.
     "q28_fingerprint",
+    # q75 displaces: q40's incremental domain-score update is replayed
+    # byte-for-byte by the crawl-vs-sim parity tests every round.
+    "q40_domain_score",
 ]
 
 

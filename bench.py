@@ -65,6 +65,7 @@ HEADLINE = [
     "q72_corpus_pipeline",
     "q73_pack_sequences",
     "q74_warc_ingest",
+    "q75_line_dedup",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
