@@ -66,6 +66,7 @@ HEADLINE = [
     "q73_pack_sequences",
     "q74_warc_ingest",
     "q75_line_dedup",
+    "q76_bpe_tokenize",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
