@@ -464,3 +464,40 @@ def test_avi_codec_roundtrip_pure():
     lum = 299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
     expect = np.bincount(lum * 13 // 255001, minlength=13) / lum.size
     assert np.allclose(hist, expect, atol=1e-6)
+
+
+def test_streaming_dedup_across_drains(spark, tmp_path):
+    """Streaming exact dedup: first arrival of a text hash is emitted,
+    duplicates are suppressed WITHIN a drain and ACROSS resumed drains
+    (state survives via the checkpoint)."""
+    import datetime as dt
+
+    from adavnceseo_crawler_spark.streaming.dedup_stream import (
+        DOC_STREAM,
+        stream_dedup_documents,
+    )
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2025, 6, 1)
+    batch1 = [(i, f"text {i % 4}", ts) for i in range(12)]  # 4 distinct
+    spark.createDataFrame(batch1, DOC_STREAM).write.parquet(src)
+    q = stream_dedup_documents(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 4
+    assert got1.select("text_hash").distinct().count() == 4
+
+    # second drain: 2 repeats of old texts + 2 genuinely new ones
+    batch2 = [(100, "text 0", ts), (101, "text 3", ts),
+              (102, "brand new A", ts), (103, "brand new B", ts)]
+    spark.createDataFrame(batch2, DOC_STREAM).write.mode("append").parquet(src)
+    q2 = stream_dedup_documents(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 6  # only the two new texts were added
+    texts = {r["text"] for r in got2.collect()}
+    assert {"brand new A", "brand new B"} <= texts
+    assert not {r for r in got2.groupBy("text_hash").count().collect()
+                if r["count"] > 1}
