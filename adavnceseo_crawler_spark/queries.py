@@ -3489,6 +3489,62 @@ def q76(spark, sf):
     )
 
 
+@q(
+    "q77_ccnet_buckets",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(2, len(ws)+1), i -> ws[i-1] || ' ' || ws[i])) AS bg
+      FROM w),
+    tb AS (SELECT bg, count(*) AS c2 FROM bg WHERE source = 'src0' GROUP BY 1),
+    tc AS (SELECT split_part(bg, ' ', 1) AS ctx, count(*) AS c1
+           FROM bg WHERE source = 'src0' GROUP BY 1),
+    vv AS (SELECT count(DISTINCT x) + 1 AS v
+           FROM (SELECT unnest(ws) AS x FROM w WHERE source = 'src0')),
+    sc AS (
+      SELECT b.doc_id,
+             round(avg(-ln((coalesce(tb.c2, 0) + 1) * 1.0
+                           / (coalesce(tc.c1, 0) + vv.v))), 6) AS avg_nll
+      FROM bg b
+      LEFT JOIN tb USING (bg)
+      LEFT JOIN tc ON split_part(b.bg, ' ', 1) = tc.ctx
+      CROSS JOIN vv
+      GROUP BY 1)
+    SELECT d.source, d.doc_id, sc.avg_nll,
+           CAST(ntile(3) OVER (PARTITION BY d.source
+                               ORDER BY sc.avg_nll, d.doc_id) AS INTEGER)
+             AS bucket
+    FROM documents d JOIN sc USING (doc_id)
+    """,
+)
+def q77(spark, sf):
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2019 §4.3):
+    every document scored by the src0-fitted bigram LM (q64's distributed
+    fit), then ntile(3) per source on avg NLL — bucket 1 is the cleanest
+    third that CCNet keeps preferentially.  One window per source over the
+    already-aggregated per-doc scores; the LM weights ride as broadcasts."""
+    from .operators.lm import bigram_lm_fit, bigram_lm_score
+
+    d = _t(spark, sf, "documents")
+    c2, c1, v = bigram_lm_fit(d.filter(F.col("source") == "src0"))
+    scored = bigram_lm_score(d, c2, c1, v).filter(F.col("avg_nll").isNotNull())
+    w = Window.partitionBy("source").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .join(scored.select("doc_id", "avg_nll"), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            "avg_nll",
+            F.ntile(3).over(w).alias("bucket"),
+        )
+    )
+
+
 # =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
@@ -3521,6 +3577,7 @@ _WINDOW_HEAD = [
     "q74_warc_ingest",
     "q75_line_dedup",
     "q76_bpe_tokenize",
+    "q77_ccnet_buckets",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -3591,6 +3648,9 @@ _WINDOW_TAIL = [
     # q76 displaces: q43's whitespace-collapse cleaner is a single built-in
     # regexp chain whose components also ride the windowed q70/q71 scrubbers.
     "q43_content_cleaner",
+    # q77 displaces: q39's internal/external link classify is a single
+    # equality predicate whose join shape rides the sim parity every round.
+    "q39_link_classify",
 ]
 
 
