@@ -67,6 +67,7 @@ HEADLINE = [
     "q74_warc_ingest",
     "q75_line_dedup",
     "q76_bpe_tokenize",
+    "q77_ccnet_buckets",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
