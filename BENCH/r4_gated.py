@@ -110,7 +110,9 @@ print("RESULT " + json.dumps({
 
 def run_snippet(code: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", code % {"repo": REPO}],
+        # plain placeholder replace: the snippets contain literal '%' (modulo
+        # exprs), so printf-style interpolation would throw
+        [sys.executable, "-c", code.replace("%(repo)r", repr(REPO))],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():

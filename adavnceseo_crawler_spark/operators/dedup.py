@@ -638,3 +638,80 @@ def line_dedup(
         F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
         F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    group_col: str = "source",
+    min_frac: float = 0.5,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Site-template boilerplate removal by within-group line frequency
+    (RefinedWeb / OSCAR rule): a line that occurs in at least ``min_frac``
+    of a group's documents (group = host / source) is template chrome —
+    navigation, cookie banner, footer — and is removed from EVERY document
+    of that group.  Unlike :func:`line_dedup` (first occurrence survives
+    corpus-wide), the frequency rule deletes all copies and never touches
+    rare lines, so organic text that happens to repeat a few times is safe.
+
+    Output: ``doc_id, n_lines, kept_lines, new_text`` for every input row.
+
+    Scale shape: the doc-frequency aggregate runs on ``(group, line)``
+    after an in-partition distinct on ``(group, line, doc)``; per-group doc
+    totals are a broadcast (group cardinality = number of hosts' sources,
+    small).  The flagged-line set is bounded above by
+    ``total_lines / (min_frac * docs_per_group)`` — at web scale a few
+    hundred templates per host — so the removal join BROADCASTS the flags
+    and the corpus stream itself is never shuffled for the filter; the only
+    corpus-wide shuffle is the per-doc reassembly.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_ndocs")
+    )
+    flagged = (
+        lines.select(group_col, "line", id_col)
+        .distinct()
+        .groupBy(group_col, "line")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .join(F.broadcast(totals), group_col)
+        # absolute floor: in a tiny group a fractional threshold degenerates
+        # (50% of 2 docs = every line); template chrome must repeat across
+        # at least ``min_docs`` documents to be believed
+        .filter(
+            F.col("_df")
+            >= F.greatest(
+                F.lit(float(min_frac)) * F.col("_ndocs"),
+                F.lit(float(min_docs)),
+            )
+        )
+        .select(group_col, "line")
+    )
+    kept = lines.join(F.broadcast(flagged), [group_col, "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("new_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

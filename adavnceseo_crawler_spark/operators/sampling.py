@@ -101,3 +101,33 @@ def quota_sample(
     return ok.select(strata_col, id_col, "rk").unionByName(
         fallback.select(strata_col, id_col, "rk")
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    p_col,
+    id_col: str,
+) -> DataFrame:
+    """Quality-weighted deterministic corpus sampling (the CCNet/GPT-3 move:
+    documents enter the training set with probability proportional to a
+    quality score).  ``p_col`` is a Column in [0, 1]; a row is kept when its
+    deterministic md5-uniform draw ``u = int(md5(id)[:8]) / 2^32`` falls
+    below ``p``, and carries the Horvitz–Thompson correction ``weight =
+    1/p`` so downstream token counts stay unbiased.  Deterministic draws
+    (same convention as :func:`quota_sample`) make reruns and incremental
+    snapshots reproduce the same training set bit-for-bit.
+
+    Scale shape: pure map-side — no shuffle, no state; the filter sits
+    directly on the scan and survives any partitioning.
+    """
+    key = _hash_key(id_col)
+    u = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / _FRAC_DEN
+    return (
+        df.withColumn("_p", p_col)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.col("_p"))
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("_p"), 6))
+        .withColumn("p_keep", F.round("_p", 6))
+        .withColumn("u_draw", F.round("_u", 6))
+        .drop("_p", "_u")
+    )

@@ -1,0 +1,112 @@
+"""Round-4 second-batch corpus operators: recrawl scheduling, boilerplate
+stripping, importance sampling."""
+
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_change_rate_priority_hand_computed(spark):
+    from adavnceseo_crawler_spark.operators.recrawl import change_rate_priority
+
+    d = datetime
+    rows = [
+        # page 1: 4 obs, values 1,1,2,2 -> 1 change / 3 opportunities
+        (1, d(2024, 1, 1), 1, 1.0),
+        (2, d(2024, 1, 2), 1, 1.0),
+        (3, d(2024, 1, 3), 1, 2.0),
+        (4, d(2024, 1, 4), 1, 2.0),
+        # page 2: 3 obs, every value differs -> rate 1.0, last seen Jan 3
+        (5, d(2024, 1, 1), 2, 1.0),
+        (6, d(2024, 1, 2), 2, 2.0),
+        (7, d(2024, 1, 3), 2, 3.0),
+        # page 3: 1 obs -> rate 0 (no opportunity), priority 0
+        (8, d(2024, 1, 1), 3, 9.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = {r["user_id"]: r for r in change_rate_priority(ev).collect()}
+    assert out[1]["n_obs"] == 4 and out[1]["n_changes"] == 1
+    assert abs(out[1]["change_rate"] - 1 / 3) < 1e-6
+    assert out[1]["age_days"] == 0.0 and out[1]["priority"] == 0.0
+    assert out[2]["change_rate"] == 1.0
+    assert out[2]["age_days"] == 1.0  # now = Jan 4 (page 1's last obs)
+    assert out[2]["priority"] == 1.0
+    assert out[3]["n_changes"] == 0 and out[3]["priority"] == 0.0
+
+
+def test_change_rate_order_ties_on_event_id(spark):
+    from adavnceseo_crawler_spark.operators.recrawl import change_rate_priority
+
+    d = datetime(2024, 1, 1)
+    # same timestamp: event_id breaks the tie, so values run 1,2,1 = 2 changes
+    ev = spark.createDataFrame(
+        [(1, d, 7, 1.0), (2, d, 7, 2.0), (3, d, 7, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    r = change_rate_priority(ev).collect()[0]
+    assert r["n_changes"] == 2 and r["change_rate"] == 1.0
+
+
+def test_boilerplate_strip_frequency_rule(spark):
+    from adavnceseo_crawler_spark.operators.dedup import boilerplate_strip
+
+    rows = []
+    for i in range(10):
+        text = f"unique body {i}\nCOOKIE BANNER"
+        if i < 3:
+            text += "\nrare promo"  # 30% < 50% threshold -> kept
+        rows.append((i, "a", text))
+    # a second source where the same banner text is RARE -> kept there
+    rows.append((100, "b", "other body\nCOOKIE BANNER"))
+    rows.append((101, "b", "other body 2"))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in boilerplate_strip(d, min_frac=0.5).collect()}
+    assert out[0]["new_text"] == "unique body 0\nrare promo"
+    assert out[5]["new_text"] == "unique body 5"
+    assert out[5]["n_lines"] == 2 and out[5]["kept_lines"] == 1
+    # per-group threshold + min_docs floor: source b's single banner copy
+    # survives (df 1 < max(50% of 2, 2) = 2)
+    assert out[100]["new_text"] == "other body\nCOOKIE BANNER"
+    assert out[101]["new_text"] == "other body 2"
+
+
+def test_boilerplate_strip_removes_all_copies(spark):
+    from adavnceseo_crawler_spark.operators.dedup import boilerplate_strip
+
+    d = spark.createDataFrame(
+        [(0, "s", "x\nnav"), (1, "s", "y\nnav"), (2, "s", "nav")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(d, min_frac=0.5).collect()}
+    # unlike line_dedup, even the FIRST occurrence is removed
+    assert out[0]["new_text"] == "x"
+    assert out[2]["new_text"] == "" and out[2]["kept_lines"] == 0
+
+
+def _md5_u(i: int) -> float:
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+
+
+def test_importance_sample_deterministic_and_weighted(spark):
+    from adavnceseo_crawler_spark.operators.sampling import importance_sample
+
+    d = spark.createDataFrame(
+        [(i, 0.5) for i in range(200)], "doc_id long, p double"
+    )
+    out = importance_sample(d, F.col("p"), "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    expected = sorted(i for i in range(200) if _md5_u(i) < 0.5)
+    assert kept == expected
+    assert 60 < len(kept) < 140  # ~Binomial(200, .5)
+    r0 = out.filter(F.col("doc_id") == kept[0]).collect()[0]
+    assert r0["weight"] == 2.0 and r0["p_keep"] == 0.5
+
+
+def test_importance_sample_p_one_keeps_all(spark):
+    from adavnceseo_crawler_spark.operators.sampling import importance_sample
+
+    d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = importance_sample(d, F.lit(1.0), "doc_id")
+    assert out.count() == 50
+    assert out.select(F.min("weight"), F.max("weight")).collect()[0] == (1.0, 1.0)
