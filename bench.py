@@ -68,6 +68,10 @@ HEADLINE = [
     "q75_line_dedup",
     "q76_bpe_tokenize",
     "q77_ccnet_buckets",
+    "q78_recrawl_priority",
+    "q79_source_boilerplate",
+    "q80_source_lang_mix",
+    "q81_importance_sample",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
