@@ -238,3 +238,93 @@ def repeated_passages(
             ).alias("shared_frac"),
         )
     )
+
+
+def _pos_grams_expr(ws: str, n: int) -> str:
+    """SQL expr: array<struct<s:int, gram:string>> of word n-grams of ``ws``
+    with their 0-based start token index (the positional variant of
+    :func:`_grams_expr`, for operators that must map grams back to the token
+    spans they cover)."""
+    parts = ", ".join(f"element_at({ws}, i + {k + 1})" for k in range(n))
+    return (
+        f"filter(transform({ws}, (x, i) -> IF(i + {n} <= size({ws}), "
+        f"named_struct('s', i, 'gram', concat_ws(' ', {parts})), NULL)), "
+        f"g -> g IS NOT NULL)"
+    )
+
+
+def passage_scrub(
+    df: DataFrame,
+    n: int = 4,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-passage REMOVAL — the scrubbing step of Lee et al. 2021
+    (ExactSubstr dedup, gram-level distributed approximation): every token
+    covered by a word ``n``-gram that appears in at least ``min_df``
+    distinct documents is cut from every document, and documents are
+    reassembled from the surviving tokens in order.  Completes
+    :func:`repeated_passages` (the statistics) with the operator that
+    actually edits the corpus.
+
+    Output per input row: ``doc_id, n_tokens, n_removed, new_text``.
+
+    Scale shape: gram doc-frequency = distinct (gram, doc) then
+    groupBy(gram) — the same single gram-keyed shuffle family as
+    repeated_passages; the hot-gram set joins back to the positional gram
+    stream keyed by gram (AQE picks broadcast when the hot set is small —
+    repeated passages are a few percent of grams; at 100 TB key both sides
+    by xxhash64(gram) to shrink the shuffle to 8-byte keys).  Coverage
+    expansion is a bounded ``sequence(s, s+n-1)`` explode on hot positions
+    only, and the final reassembly is one doc-keyed aggregate.
+    """
+    base = df.select(
+        F.col(id_col),
+        words_col(F.col(text_col)).alias("_ws"),
+    )
+    toks = base.select(
+        id_col, F.posexplode("_ws").alias("pos", "word")
+    )
+    gp = base.select(
+        id_col,
+        F.explode(F.expr(_pos_grams_expr("_ws", n))).alias("_g"),
+    ).select(id_col, F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram"))
+    hot = (
+        gp.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        gp.join(hot, "gram")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda st: st.word,
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = base.select(
+        id_col, F.size("_ws").cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

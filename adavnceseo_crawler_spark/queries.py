@@ -3804,6 +3804,78 @@ def q81(spark, sf):
     )
 
 
+_Q82_PASSAGE = "breaking news wire syndicated content repeats across outlets"
+
+
+@q(
+    "q82_passage_scrub",
+    rf"""
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' {_Q82_PASSAGE}' ELSE '' END AS text
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM p),
+    tok AS (
+      SELECT doc_id, st.pos AS pos, st.word AS word FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+               i -> {{'pos': i-1, 'word': ws[i]}})) AS st
+        FROM w)),
+    gp AS (
+      SELECT doc_id, st.s AS s, st.gram AS gram FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)-2),
+               i -> {{'s': i-1, 'gram': array_to_string(ws[i:i+3], ' ')}})) AS st
+        FROM w WHERE len(ws) >= 4)),
+    hot AS (
+      SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM gp)
+      GROUP BY gram HAVING count(*) >= 5),
+    cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT gp.doc_id, unnest(range(gp.s, gp.s + 4)) AS pos
+        FROM gp JOIN hot USING (gram))),
+    kept AS (
+      SELECT tok.* FROM tok
+      LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+      WHERE cov.pos IS NULL),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+             string_agg(word, ' ' ORDER BY pos) AS new_text
+      FROM kept GROUP BY 1),
+    base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(b.n_tokens - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed,
+           coalesce(a.new_text, '') AS new_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q82(spark, sf):
+    """Repeated-passage scrubbing (quality.passage_scrub) — the REMOVAL step
+    of Lee et al. 2021's ExactSubstr dedup in its gram-level distributed
+    form: tokens covered by any word 4-gram occurring in >= 5 distinct
+    documents are cut everywhere, completing q67's statistics with the
+    operator that edits the corpus.  Planted: a syndicated-wire passage
+    appended to doc_id % 3 (corpus-wide df far above 5 — scrubbed to
+    nothing), while doc-unique boundary grams survive.  Gram doc-frequency
+    rides the q67 shuffle family; coverage expands only hot positions."""
+    from .operators.quality import passage_scrub
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" " + _Q82_PASSAGE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return passage_scrub(planted, n=4, min_df=5)
+
+
 # =============================================================================
 # Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
 # CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
@@ -3841,6 +3913,7 @@ _WINDOW_HEAD = [
     "q79_source_boilerplate",
     "q80_source_lang_mix",
     "q81_importance_sample",
+    "q82_passage_scrub",
 ]
 _WINDOW_TAIL = [
     # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
@@ -3926,6 +3999,11 @@ _WINDOW_TAIL = [
     "q29_lsh_ann_topk",
     "q12_priority_topk",
     "q16_content_classify",
+    # q82 displaces: q27's SimHash candidate generation is the documented
+    # alternative near-dup path; the production near-dup family keeps driver
+    # evidence via the windowed q26 (MinHash-LSH verified pairs) + q60
+    # (clustering), and q27 has been driver-green rounds 1-3.
+    "q27_simhash_candidates",
 ]
 
 

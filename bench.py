@@ -72,6 +72,7 @@ HEADLINE = [
     "q79_source_boilerplate",
     "q80_source_lang_mix",
     "q81_importance_sample",
+    "q82_passage_scrub",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

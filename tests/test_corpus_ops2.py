@@ -110,3 +110,34 @@ def test_importance_sample_p_one_keeps_all(spark):
     out = importance_sample(d, F.lit(1.0), "doc_id")
     assert out.count() == 50
     assert out.select(F.min("weight"), F.max("weight")).collect()[0] == (1.0, 1.0)
+
+
+def test_passage_scrub_removes_hot_spans_only(spark):
+    from adavnceseo_crawler_spark.operators.quality import passage_scrub
+
+    hot = "alpha beta gamma delta"  # one 4-gram, planted in 5 docs
+    # prefix words are doc-UNIQUE so boundary grams never reach min_df
+    rows = [(i, f"u{i} w{i} h{i} " + hot) for i in range(5)]
+    rows.append((10, "completely fresh text alpha beta gamma"))  # only 3 of 4
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_scrub(d, n=4, min_df=5).collect()}
+    for i in range(5):
+        assert out[i]["n_removed"] == 4
+        assert out[i]["new_text"] == f"u{i} w{i} h{i}"
+    # sub-threshold doc untouched (its grams never reach df 5)
+    assert out[10]["n_removed"] == 0
+    assert out[10]["new_text"] == "completely fresh text alpha beta gamma"
+
+
+def test_passage_scrub_overlapping_coverage(spark):
+    from adavnceseo_crawler_spark.operators.quality import passage_scrub
+
+    # the hot 4-gram occurs twice, overlapping coverage must not double-count
+    body = "a b c d"
+    rows = [(i, f"x{i} {body} mid{i} {body} y{i}") for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_scrub(d, n=4, min_df=6).collect()}
+    for i in range(6):
+        assert out[i]["n_tokens"] == 11
+        assert out[i]["n_removed"] == 8
+        assert out[i]["new_text"] == f"x{i} mid{i} y{i}"
