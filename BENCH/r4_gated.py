@@ -154,7 +154,13 @@ def main() -> None:
         PAGES, HOSTS, os.environ.get("SCALE_SHARED_WEB_BASE", "/tmp"))
     print("shared web ready", flush=True)
 
-    todo = ["crawlprof", "schedbench", "n16", "n4", "bench"]
+    todo = [
+        t.strip()
+        for t in os.environ.get(
+            "GATE_TASKS", "crawlprof,schedbench,n16,n4,bench"
+        ).split(",")
+        if t.strip()
+    ]
     while todo and time.monotonic() < DEADLINE:
         task = todo[0]
         pre = memprobe.run(16)

@@ -236,7 +236,7 @@ def test_schedule_batch_counted_equivalence(spark):
     """schedule_batch_counted returns the identical row set as schedule_batch
     in BOTH branches (cap binds / cap slack — the serial global sort never
     runs in the slack branch), and its ``rejected`` complement is exactly
-    df \ scheduled in both."""
+    df minus scheduled in both."""
     from adavnceseo_crawler_spark.operators.politeness import (
         schedule_batch,
         schedule_batch_counted,
