@@ -141,3 +141,53 @@ def test_passage_scrub_overlapping_coverage(spark):
         assert out[i]["n_tokens"] == 11
         assert out[i]["n_removed"] == 8
         assert out[i]["new_text"] == f"x{i} mid{i} y{i}"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_recrawl_plan_single_data_shuffle(spark):
+    """The lag window and the per-entity aggregate share the user_id
+    exchange; the only other exchange is the 1-row corpus-"now" aggregate
+    (SinglePartition), and "now" rides as a broadcast — no extra job."""
+    from datetime import datetime
+
+    from adavnceseo_crawler_spark.operators.recrawl import change_rate_priority
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    plan = _plan(change_rate_priority(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_boilerplate_plan_broadcasts_flags(spark):
+    """The flagged-template set and per-group totals are broadcast; the
+    corpus line stream never hash-shuffles for the removal join — only the
+    doc-frequency aggregate and the per-doc reassembly shuffle."""
+    from adavnceseo_crawler_spark.operators.dedup import boilerplate_strip
+
+    d = spark.createDataFrame(
+        [(0, "s", "a\nb")], "doc_id long, source string, text string"
+    )
+    plan = _plan(boilerplate_strip(d))
+    assert plan.count("BroadcastExchange") >= 2  # totals + flags
+    # the five data shuffles are the canonical distinct-aggregate chain
+    # ((s,l,d) partial, (s,l) final, per-source totals) plus the doc-keyed
+    # reassembly and the base re-join; the removal join itself contributes
+    # NONE (broadcast left_anti)
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_importance_sample_plan_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from adavnceseo_crawler_spark.operators.sampling import importance_sample
+
+    d = spark.createDataFrame([(1,)], "doc_id long")
+    plan = _plan(importance_sample(d, F.lit(0.5), "doc_id"))
+    assert "Exchange" not in plan  # pure map-side: filter sits on the scan
