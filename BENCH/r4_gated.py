@@ -201,6 +201,14 @@ def main() -> None:
         tp4 = state["n4"]["fetched"] / state["n4"]["wall_sec"]
         tp16 = state["n16"]["fetched"] / state["n16"]["wall_sec"]
         state["efficiency_4v16"] = round(tp16 / (4 * tp4), 3)
+        # steady-state round pairing (north_rule is per-round throughput on a
+        # warm frontier): last round's wall ratio, excluding the round-0
+        # cold-scan/warmup that amortizes at the 10^7-URL-round regime
+        r4s, r16s = state["n4"].get("rounds"), state["n16"].get("rounds")
+        if r4s and r16s and len(r4s) == len(r16s) and len(r4s) > 1:
+            state["efficiency_4v16_steady"] = round(
+                (r4s[-1]["wall_ms"] / r16s[-1]["wall_ms"]) / 4, 3
+            )
     save()
     print("gated pipeline done", flush=True)
 
