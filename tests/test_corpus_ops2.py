@@ -191,3 +191,31 @@ def test_importance_sample_plan_no_shuffle(spark):
     d = spark.createDataFrame([(1,)], "doc_id long")
     plan = _plan(importance_sample(d, F.lit(0.5), "doc_id"))
     assert "Exchange" not in plan  # pure map-side: filter sits on the scan
+
+
+def test_boilerplate_strip_blank_lines_are_chrome(spark):
+    """Blank lines (e.g. from paragraph spacing) occur in most documents,
+    cross the frequency threshold, and are stripped like any template line
+    — documented behavior, matches the C4 convention of dropping empties."""
+    from adavnceseo_crawler_spark.operators.dedup import boilerplate_strip
+
+    d = spark.createDataFrame(
+        [(i, "s", f"para one {i}\n\npara two {i}") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(d, min_frac=0.5).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["kept_lines"] == 2
+    assert out[0]["new_text"] == "para one 0\npara two 0"
+
+
+def test_passage_scrub_short_docs_untouched(spark):
+    from adavnceseo_crawler_spark.operators.quality import passage_scrub
+
+    d = spark.createDataFrame(
+        [(i, "too short") for i in range(8)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_scrub(d, n=4, min_df=2).collect()}
+    assert out[0]["n_tokens"] == 2 and out[0]["n_removed"] == 0
+    assert out[0]["new_text"] == "too short"
+    assert out[99]["n_tokens"] == 0 and out[99]["new_text"] == ""
