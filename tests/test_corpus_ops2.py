@@ -219,3 +219,47 @@ def test_passage_scrub_short_docs_untouched(spark):
     assert out[0]["n_tokens"] == 2 and out[0]["n_removed"] == 0
     assert out[0]["new_text"] == "too short"
     assert out[99]["n_tokens"] == 0 and out[99]["new_text"] == ""
+
+
+def _scrub_reference(docs, n, min_df):
+    """Pure-Python reference for passage_scrub: same gram rule, same
+    coverage rule, no Spark."""
+    words = {i: t.split() for i, t in docs}
+    gdocs = {}
+    for i, ws in words.items():
+        for s in range(len(ws) - n + 1):
+            gdocs.setdefault(" ".join(ws[s : s + n]), set()).add(i)
+    hot = {g for g, ds in gdocs.items() if len(ds) >= min_df}
+    out = {}
+    for i, ws in words.items():
+        cov = set()
+        for s in range(len(ws) - n + 1):
+            if " ".join(ws[s : s + n]) in hot:
+                cov.update(range(s, s + n))
+        kept = [w for p, w in enumerate(ws) if p not in cov]
+        out[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_passage_scrub_random_corpora_match_reference(spark):
+    """Randomized cross-check: tiny vocabulary forces organic gram
+    collisions (not just planted ones); the Spark operator must equal the
+    pure-Python reference on every doc."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(30)
+        ]
+        from adavnceseo_crawler_spark.operators.quality import passage_scrub
+
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["new_text"])
+            for r in passage_scrub(sdf, n=3, min_df=3).collect()
+        }
+        want = _scrub_reference(docs, 3, 3)
+        assert got == want, f"trial {trial}"
