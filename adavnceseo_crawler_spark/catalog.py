@@ -205,15 +205,22 @@ class SnapshotCatalog:
         reads the deferred tables — plans/round.py places it at the start of
         the next round's dedup stage (the first url_seen read)."""
         try:
-            for f in handle["futures"]:
-                f.result()  # re-raises a failed write before any manifest lands
+            try:
+                for f in handle["futures"]:
+                    f.result()  # re-raises a failed write before manifests land
+            finally:
+                # join writer threads even when a write failed, so no thread
+                # outlives the (aborted) settle; either way the handle is spent
+                handle["pool"].shutdown(wait=True)
+            for table, snap in handle["staged"].items():
+                self._write_manifest(table, snap)
         finally:
-            # join writer threads even when a write failed, so no thread
-            # outlives the (aborted) settle; either way the handle is spent
-            handle["pool"].shutdown(wait=True)
+            # Decrement only AFTER the staged manifests are written (or the
+            # settle aborted): vacuum() treats _unsettled==0 as "no staged
+            # snap dirs exist beyond latest_sid", so dropping the rail before
+            # the manifests publish would let a concurrent vacuum delete the
+            # fully-written staged dirs the manifests are about to point at.
             self._unsettled = max(0, self._unsettled - 1)
-        for table, snap in handle["staged"].items():
-            self._write_manifest(table, snap)
         for df in handle["unpersist"]:
             try:
                 df.unpersist()

@@ -20,10 +20,13 @@ Scale shape (mirrors the distributed NB fit, nbayes.py): the fit is two
 ``groupBy().count()`` aggregations — map-side-combinable, never collected
 to the driver; ``V`` rides the plan as a broadcast 1-row aggregate (the
 q53 pattern, no separate count job).  Scoring explodes the corpus into
-bigram rows and left-joins the two count tables; both joins are hinted
-broadcast below the default threshold and fall back to shuffle joins when
-the vocabulary outgrows it — either way the weights stay DataFrames end
-to end and no vocabulary-sized state ever materializes on the driver.
+bigram rows and left-joins the two count tables; with the default
+``broadcast_weights=True`` the count joins are hinted broadcast (right for
+the <=10^6-gram vocabularies of a trusted training corpus), and callers
+with a vocabulary too large to broadcast pass ``broadcast_weights=False``
+to get plain shuffle hash joins on the gram key (the nbayes.nb_scores
+convention) — either way the weights stay DataFrames end to end and no
+vocabulary-sized state ever materializes on the driver.
 """
 
 from __future__ import annotations
@@ -75,16 +78,23 @@ def bigram_lm_score(
     v: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """Average negative log-likelihood per document under the fitted LM.
 
     Output: ``doc_id, n_bigrams, avg_nll`` (rounded 6 dp; documents with
     fewer than 2 words score NULL avg_nll over 0 bigrams).
+
+    ``broadcast_weights=False`` drops the broadcast hints on the count
+    joins (shuffle hash join on the gram key) for vocabularies too large
+    to fit an executor — a broadcast hint never falls back by size, so the
+    caller must choose.  The 1-row ``v`` aggregate is always broadcast.
     """
+    maybe_b = F.broadcast if broadcast_weights else (lambda d: d)
     scored = (
         _bigrams(corpus, text_col, id_col)
-        .join(F.broadcast(c2), "bg", "left")
-        .join(F.broadcast(c1), "ctx", "left")
+        .join(maybe_b(c2), "bg", "left")
+        .join(maybe_b(c1), "ctx", "left")
         .join(F.broadcast(v))
         .select(
             id_col,

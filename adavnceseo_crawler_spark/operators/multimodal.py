@@ -5,19 +5,23 @@ a 100 TB training-data pipeline stores them next to text.  The Spark-side
 plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures, partitioning
 by modality — is real and tested.
 
-Codecs (round 4): IMAGE decode is REAL for two uncompressed formats the
-stdlib can parse — 24-bit BMP and binary PPM (P6) — so ``decode_real``
-actually produces pixel arrays and ``extract_features(..., decode="real")``
-computes dimensions + channel statistics + a luminance histogram from ACTUAL
-pixels (encode→decode roundtrip is exact and unit-tested).  Audio/video and
-compressed image formats (JPEG/PNG) still raise NotImplementedError with the
-integration point documented: those codecs (PIL/torchaudio/ffmpeg) are not
-installable in this sandbox.  ``decode_stub`` (byte-histogram fake) remains
-the oracle-checked default path for the q30 driver query.
+Codecs: decode is REAL for five formats the stdlib can parse — 24-bit BMP,
+binary PPM (P6), PNG (RGB8: zlib inflate + per-scanline unfilter,
+round 5), PCM16 WAV, and uncompressed RGB24 AVI — so ``decode_real``
+produces actual pixel/sample arrays and ``extract_features(...,
+decode="real")`` computes dimensions + channel statistics + histograms
+from ACTUAL data (encode→decode roundtrips are exact and unit-tested).
+Only codecs that genuinely need non-stdlib libraries remain a documented
+NotImplementedError boundary (JPEG/MP3/H.264 — PIL/torchaudio/ffmpeg are
+not installable in this sandbox; decode_real names the wire-in point).
+``decode_stub`` (byte-histogram fake) remains the oracle-checked default
+path for the q30 driver query, and real-mode fallbacks to it are recorded
+in the ``decoded`` output column.
 """
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -52,6 +56,10 @@ FEATURES = T.StructType(
         T.StructField("modality", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("n_bytes", T.LongType(), True),
+        # True iff the feature came from a REAL codec decode; False = the
+        # byte-histogram stub (either stub mode, or a real-mode fallback on
+        # a corrupt/unsupported payload).  Downstream audits/filters on it.
+        T.StructField("decoded", T.BooleanType(), False),
     ]
 )
 
@@ -144,6 +152,136 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         raster = raster[::-1]
     return raster[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (pure stdlib: zlib): 8-bit RGB (color type 2), the
+# dominant lossless web image format.  Decode = signature + chunk walk
+# (CRC-verified) + inflate of the concatenated IDATs + per-scanline
+# unfilter.  Filters 0/2 (None/Up) unfilter vectorized in numpy; 1/3/4
+# (Sub/Average/Paeth) carry a sequential left-dependence along the
+# scanline, so they run a per-byte loop over that line — linear and
+# row-local, the same work PIL does in C.  Interlace, palettes, alpha and
+# bit depths != 8 are rejected explicitly (ValueError), never mis-decoded.
+# ---------------------------------------------------------------------------
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big") + ctype + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG (bit depth 8, color type 2, one IDAT).
+    ``filter_type`` applies that scanline filter (0..4) to EVERY row so
+    tests can roundtrip each of the decoder's unfilter paths."""
+    h, w, _ = pixels.shape
+    raw = pixels.astype(np.uint8).reshape(h, w * 3).astype(np.int16)
+    zeros3 = np.zeros(3, dtype=np.int16)
+    prev = np.zeros(w * 3, dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([zeros3, cur[:-3]])
+        ul = np.concatenate([zeros3, prev[:-3]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - ((left + prev) // 2)
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (RGB8, non-interlaced) -> (H, W, 3) uint8.  CRC-checks every
+    chunk; unknown ancillary chunks are skipped per the spec."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, w, h = 8, [], None, None
+    while pos + 12 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        cid = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + size]
+        crc = int.from_bytes(payload[pos + 8 + size:pos + 12 + size], "big")
+        if (zlib.crc32(cid + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {cid!r} CRC mismatch")
+        if cid == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, interlace = data[8:13]
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant depth={depth} color={ctype} "
+                    f"interlace={interlace} (RGB8 non-interlaced only)"
+                )
+        elif cid == b"IDAT":
+            idat.append(data)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 255
+        elif ft == 2:  # Up (vectorized)
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), dtype=np.uint8)
+                    + np.frombuffer(bytes(prev), dtype=np.uint8)
+                ).tobytes()
+            )
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    return out.reshape(h, w, 3).copy()
 
 
 # ---------------------------------------------------------------------------
@@ -316,14 +454,16 @@ def video_features(frames: np.ndarray, dim: int = 16) -> np.ndarray:
 _IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
+    "image/png": decode_png,
 }
 
 
 def decode_real(payload: bytes, mime: str):
-    """Real decode: (H, W, 3) uint8 pixels for the supported uncompressed
-    image formats, (samples, rate) for PCM WAV; everything else (JPEG/PNG,
-    compressed audio, video) raises with the integration point documented
-    (PIL/torchaudio/ffmpeg are not installable in this sandbox)."""
+    """Real decode: (H, W, 3) uint8 pixels for BMP/PPM/PNG, (samples, rate)
+    for PCM WAV, (N, H, W, 3) frames for RGB24 AVI; everything else
+    (JPEG, compressed audio, H.264) raises with the integration point
+    documented (PIL/torchaudio/ffmpeg are not installable in this
+    sandbox)."""
     dec = _IMAGE_DECODERS.get(mime)
     if dec is not None:
         return dec(payload)
@@ -372,13 +512,16 @@ def extract_features(
     ``decode="stub"``: byte-histogram fake (the oracle-checked q30 path).
     ``decode="real"``: decode supported image payloads to pixels and compute
     dims + channel means + luminance histogram (image_features); payloads
-    with no codec fall back to the stub so mixed-modality batches survive.
+    with no codec (or corrupt payloads) fall back to the stub so
+    mixed-modality batches survive — the ``decoded`` output column records
+    which rows actually decoded, so a fallback is auditable, never silent.
 
     At scale: repartition by modality first so each task loads one codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
+            flags = []
             for p, mime in zip(pdf["payload"], pdf["mime"]):
                 if decode == "real":
                     try:
@@ -389,16 +532,19 @@ def extract_features(
                             feats.append(video_features(decoded, dim).tolist())
                         else:                               # (H, W, 3) pixels
                             feats.append(image_features(decoded, dim).tolist())
+                        flags.append(True)
                         continue
                     except (NotImplementedError, ValueError):
                         pass
                 feats.append(decode_stub(p, dim).tolist())
+                flags.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "feature": feats,
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "decoded": flags,
                 }
             )
 
@@ -471,17 +617,36 @@ def synth_media_video(spark, n: int = 12) -> DataFrame:
 
 
 def synth_media_real(spark, n: int = 60) -> DataFrame:
-    """Deterministic REAL-image media table: rows alternate 24-bit BMP and
-    binary PPM encodings of synth_pixels(i) — decode_real roundtrips them to
-    exact pixels.  The q57 oracle recomputes the features from the pixel
-    FORMULA in SQL (never parsing BMP), so a decoder bug cannot cancel out."""
+    """Deterministic REAL-image media table: rows rotate 24-bit BMP, binary
+    PPM and PNG (filter i%5, exercising every unfilter path) encodings of
+    synth_pixels(i) — decode_real roundtrips all three to exact pixels.
+    The q57 oracle recomputes the features from the pixel FORMULA in SQL
+    (never parsing any container), so a decoder bug cannot cancel out."""
     rows = []
     for i in range(n):
         w, h = 8 + i % 5, 6 + i % 3
         px = synth_pixels(i, w, h)
-        if i % 2 == 0:
+        if i % 3 == 0:
             payload, mime = encode_bmp(px), "image/bmp"
-        else:
+        elif i % 3 == 1:
             payload, mime = encode_ppm(px), "image/x-portable-pixmap"
+        else:
+            payload, mime = encode_png(px, filter_type=i % 5), "image/png"
         rows.append((i, "image", payload, (mime, w, h, None)))
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def synth_media_png(spark, n: int = 50) -> DataFrame:
+    """Deterministic all-PNG media table: synth_pixels(i) encoded with
+    scanline filter i%5, so a scan exercises every unfilter path (None/
+    Sub/Up/Average/Paeth).  The q83 oracle recomputes features from the
+    pixel formula in SQL, never inflating a PNG."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 7, 6 + i % 4
+        px = synth_pixels(i, w, h)
+        rows.append(
+            (i, "image", encode_png(px, filter_type=i % 5),
+             ("image/png", w, h, None))
+        )
     return spark.createDataFrame(rows, MEDIA)

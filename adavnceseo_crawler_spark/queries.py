@@ -3033,8 +3033,8 @@ def q69(spark, sf):
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-           CAST(len(regexp_extract_all(t2, '\+\d{7,15}')) AS BIGINT) AS n_phones,
-           regexp_replace(t2, '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
+           CAST(len(regexp_extract_all(t2, '\+\d{7,}')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '\+\d{7,}', '<PHONE>', 'g') AS scrubbed
     FROM s2
     """,
 )
@@ -3874,6 +3874,91 @@ def q82(spark, sf):
         ).alias("text"),
     )
     return passage_scrub(planted, n=4, min_df=5)
+
+
+# =============================================================================
+# Real PNG decode (round 5, VERDICT r4 #4): zlib-inflate + per-scanline
+# unfilter, pure stdlib.  Same oracle discipline as q57: Spark inflates and
+# unfilters the ACTUAL PNG payloads (decode_png inside the mapInPandas UDF;
+# every image uses scanline filter media_id % 5, so all five unfilter paths
+# run); the oracle recomputes the features from synth_pixels' generative
+# FORMULA in SQL without ever touching a PNG byte — a codec bug cannot
+# cancel out.  Integer-exact projection: w·h ≤ 126 px, channel sums < 2^24.
+# =============================================================================
+@q(
+    "q83_png_decode_features",
+    """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(8 + i % 7 AS BIGINT) AS w,
+             CAST(6 + i % 4 AS BIGINT) AS h
+      FROM range(0, 50) t(i)),
+    px AS (
+      SELECT media_id, w, h,
+             (x * 31 + media_id * 7) % 256 AS r,
+             (y * 53 + media_id * 13) % 256 AS g,
+             (x * y + media_id) % 256 AS b
+      FROM m, unnest(range(0, h)) ty(y), unnest(range(0, w)) tx(x)),
+    sums AS (
+      SELECT media_id, w, h,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b
+      FROM px GROUP BY media_id, w, h),
+    bins AS (
+      SELECT media_id, (299 * r + 587 * g + 114 * b) * 11 // 255001 AS bin,
+             count(*) AS cnt
+      FROM px GROUP BY media_id, bin),
+    grid AS (
+      SELECT m.media_id, CAST(kk AS BIGINT) AS bin
+      FROM m, unnest(range(0, 11)) t2(kk)),
+    hist AS (
+      SELECT grid.media_id,
+             array_to_string(
+               list(CAST(coalesce(bins.cnt, 0) AS INT) ORDER BY grid.bin),
+               ',') AS hist11
+      FROM grid LEFT JOIN bins
+        ON grid.media_id = bins.media_id AND grid.bin = bins.bin
+      GROUP BY grid.media_id)
+    SELECT s.media_id, CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
+           s.sum_r, s.sum_g, s.sum_b, hist.hist11,
+           TRUE AS decoded
+    FROM sums s JOIN hist ON s.media_id = hist.media_id
+    """,
+)
+def q83(spark, sf):
+    """Multimodal REAL PNG decode (operators/multimodal.decode_png): the
+    mapInPandas UDF CRC-checks the chunk walk, zlib-inflates the IDAT
+    stream and unfilters every scanline (filter media_id % 5 covers
+    None/Sub/Up/Average/Paeth), then computes features from actual pixels.
+    The ``decoded`` audit column must be TRUE on every row — a silent
+    fallback to the byte-histogram stub would flip it false and fail the
+    oracle, so the flag is itself under test."""
+    from .operators.multimodal import extract_features, synth_media_png
+
+    media = synth_media_png(spark, n=50)
+    feats = extract_features(media, decode="real")
+    f = F.col("feature")
+    w = F.round(f[0]).cast("int")
+    h = F.round(f[1]).cast("int")
+    npx = (w * h).cast("long")
+    hist11 = F.array_join(
+        F.transform(
+            F.slice(f, 6, 11),
+            lambda x: F.round(x * npx).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.round(f[2] * npx).cast("long").alias("sum_r"),
+        F.round(f[3] * npx).cast("long").alias("sum_g"),
+        F.round(f[4] * npx).cast("long").alias("sum_b"),
+        hist11.alias("hist11"),
+        "decoded",
+    )
 
 
 # =============================================================================

@@ -195,8 +195,13 @@ def write_warc(
     """Write rows as WARC response records, one ``part-NNNNN.warc[.gz]``
     per partition under ``path``; returns the number of files written.
     Member-per-record gzip (the CommonCrawl convention), so readers can
-    seek to any record boundary."""
-    os.makedirs(path, exist_ok=True)
+    seek to any record boundary.
+
+    ``path`` must be a filesystem visible to the EXECUTORS: each task
+    opens its part file directly (and makedirs it first), so on a
+    multi-node cluster this needs a shared mount (NFS/fuse); in local
+    mode any directory works.  The returned count is one collect of one
+    filename per non-empty partition — not data-scale."""
     cols = [url_col, payload_col] + ([date_col] if date_col else [])
     slim = df.select(*cols)
     ext = ".warc.gz" if compress else ".warc"
@@ -209,10 +214,13 @@ def write_warc(
             payload = r[payload_col]
             if isinstance(payload, str):
                 payload = payload.encode()
+            # NULL dates fall back to build_record's deterministic default
+            # rather than crashing on None.encode().
+            date = r[date_col] if date_col else None
             rec = build_record(
                 r[url_col],
                 bytes(payload or b""),
-                **({"warc_date": r[date_col]} if date_col else {}),
+                **({"warc_date": date} if date is not None else {}),
             )
             if compress:
                 g = io.BytesIO()
@@ -222,6 +230,7 @@ def write_warc(
             else:
                 buf.write(rec)
         if wrote:
+            os.makedirs(path, exist_ok=True)  # executor-side, per task
             name = os.path.join(path, f"part-{idx:05d}{ext}")
             with open(name, "wb") as f:
                 f.write(buf.getvalue())

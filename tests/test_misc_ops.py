@@ -342,12 +342,14 @@ def test_image_codec_roundtrip_pure():
     import pytest
 
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG...", "image/png")
+        decode_real(b"\xff\xd8\xff...", "image/jpeg")  # JPEG: no codec
     with pytest.raises(NotImplementedError):
         decode_real(b"\xff\xfb...", "audio/mpeg")  # compressed audio: no codec
     # supported mime + malformed payload is a decode error, not a stub path
     with pytest.raises(ValueError):
         decode_real(b"RIFF....", "audio/wav")
+    with pytest.raises(ValueError):
+        decode_real(b"\x89PNG...", "image/png")  # real codec since round 5
 
 
 def test_image_features_from_real_pixels():
@@ -393,13 +395,57 @@ def test_extract_features_real_decode(spark):
         expect = image_features(synth_pixels(i, w, h), dim=16)
         got = np.array(rows[i]["feature"], dtype=np.float32)
         assert np.allclose(got, expect, atol=1e-5), i
+    # real decodes are flagged so fallbacks are auditable
+    assert all(rows[i]["decoded"] for i in range(12))
     # mixed: opaque payloads under decode="real" fall back to the stub
     mixed = synth_media(spark, n=6)
-    stub = {r["media_id"]: tuple(r["feature"])
-            for r in extract_features(mixed).collect()}
-    fell_back = {r["media_id"]: tuple(r["feature"])
-                 for r in extract_features(mixed, decode="real").collect()}
+    stub_rows = extract_features(mixed).collect()
+    stub = {r["media_id"]: tuple(r["feature"]) for r in stub_rows}
+    assert not any(r["decoded"] for r in stub_rows)  # stub mode: all False
+    fell_back_rows = extract_features(mixed, decode="real").collect()
+    fell_back = {r["media_id"]: tuple(r["feature"]) for r in fell_back_rows}
     assert stub == fell_back
+    assert not any(r["decoded"] for r in fell_back_rows)  # fallback flagged
+
+
+def test_png_codec_roundtrip_pure():
+    """decode_png(encode_png(px, ft)) == px exactly for every scanline
+    filter 0-4; CRC corruption and unsupported variants rejected."""
+    import numpy as np
+    import pytest
+
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        decode_png,
+        decode_real,
+        encode_png,
+        synth_pixels,
+    )
+
+    # gradient pixels hit all branches of the Paeth/Average predictors
+    rng = np.arange(23 * 13 * 3, dtype=np.int64)
+    hard = ((rng * rng * 2654435761) % 251).astype(np.uint8).reshape(13, 23, 3)
+    for ft in range(5):
+        px = synth_pixels(ft * 7, 8 + ft, 6 + ft % 3)
+        assert np.array_equal(decode_png(encode_png(px, ft)), px)
+        assert np.array_equal(decode_png(encode_png(hard, ft)), hard)
+    assert np.array_equal(decode_real(encode_png(hard, 4), "image/png"), hard)
+    # chunk CRCs are verified
+    corrupt = bytearray(encode_png(hard))
+    corrupt[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 16)
+    # unsupported variant (grayscale colortype 0) rejected, not mis-decoded
+    import zlib as _z
+    from adavnceseo_crawler_spark.operators.multimodal import _png_chunk
+    gray_ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 0, 0, 0, 0])
+    gray = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", gray_ihdr)
+            + _png_chunk(b"IDAT", _z.compress(b"\x00ab\x00cd"))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(gray)
 
 
 def test_wav_codec_roundtrip_pure():
