@@ -441,3 +441,89 @@ def gen_planted_vectors(
     )
     query_ids = list(range(1000, 1000 + n_queries))
     return index_ids, index_vecs, query_ids, query_vecs
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus for the LLM-pipeline scaling bench (round 5)
+# ---------------------------------------------------------------------------
+_CORPUS_PASSAGE = (
+    "shared wire passage alpha bravo charlie delta echo foxtrot golf "
+    "hotel india"
+)
+
+
+def corpus_doc(i: int, vocab: int = 50021) -> tuple[str, str, str]:
+    """(text, lang, source) for corpus doc ``i`` — pure function of the id,
+    so 10^8-doc corpora generate distributively and any level of the
+    scaling bench sees byte-identical input.  Plants, in precedence order:
+
+    * ``i % 13 == 12``  exact duplicate of base ``i-12`` (exact-dedup work);
+    * ``i % 17 == 16``  near-duplicate of base ``i-16`` with two words
+      substituted (token-Jaccard ≈ 0.94 → MinHash-LSH work);
+    * ``i % 29 == 0``   one bigram repeated 40× (Gopher repetition drop);
+    * ``i % 11 == 0``   a shared 12-word passage appended (corpus-wide
+      gram df ≫ any threshold → passage-scrub work);
+    * unique body otherwise: 24-40 words drawn pseudo-randomly from a
+      ~50k-word vocabulary, so cross-doc gram collisions are negligible.
+
+    lang: ~4.3% 'de' (i%23==0, filtered), ~4.3% 'es', else 'en'.
+    source: 8 strata for the quota sampler.
+    """
+
+    def body(j: int) -> str:
+        if j % 29 == 0:
+            a, b = mix(j, 1) % vocab, mix(j, 2) % vocab
+            return " ".join(f"w{a:05d} w{b:05d}" for _ in range(40))
+        n = 24 + mix(j, 3) % 17
+        ws = [f"w{mix(j, 10 + k) % vocab:05d}" for k in range(n)]
+        if j % 11 == 0:
+            ws.append(_CORPUS_PASSAGE)
+        return " ".join(ws)
+
+    if i % 13 == 12:
+        text = body(i - 12)
+    elif i % 17 == 16:
+        base = i - 16
+        ws = body(base).split(" ")
+        for pos in (3, 7):
+            if pos < len(ws):
+                ws[pos] = f"w{mix(i, 90 + pos) % vocab:05d}"
+        text = " ".join(ws)
+    else:
+        text = body(i)
+    lang = "de" if i % 23 == 0 else ("es" if i % 23 == 1 else "en")
+    return text, lang, f"s{i % 8}"
+
+
+def gen_documents(spark, n_docs: int, partitions: int = 64):
+    """documents(doc_id, text, lang, source) — the corpus-pipeline scaling
+    bench's input table, same column family as the driver's documents
+    testdata.  Generated distributively (mapInPandas over spark.range)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rows = [corpus_doc(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": [r[0] for r in rows],
+                    "lang": [r[1] for r in rows],
+                    "source": [r[2] for r in rows],
+                }
+            )
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(
+        batches, schema=schema
+    )
