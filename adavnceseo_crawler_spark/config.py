@@ -90,6 +90,29 @@ class CrawlConfig:
     # round-batch and could never be broadcast anyway
     consumed_broadcast_rows: int = 100_000
 
+    # crawler-trap guard (operators/urlmine wired into the scheduler —
+    # SURVEY §2 frontier-scheduling extension; reference analog is the
+    # hygiene filter html_parser.py:140-155, which has no template-level
+    # guard).  A (host, url-template) cell holding more than
+    # trap_template_threshold frontier URLs admits at most
+    # trap_admit_per_round of them per round; the rest stay in the frontier
+    # (politeness-deferral semantics).  None = off (default: byte-identical
+    # scheduling to rounds 1-4, sim parity preserved).
+    trap_template_threshold: int | None = None
+    trap_admit_per_round: int = 5
+
+    # freshness-driven re-crawl (operators/recrawl wired into the round
+    # plan — Cho & Garcia-Molina refresh ordering over the crawl_log
+    # observation history).  Every recrawl_every rounds, the recrawl_top
+    # already-crawled URLs with the highest (change_rate × age, then age)
+    # re-enter the frontier; their priority rides the frontier ``score``
+    # column and is blended into the scheduling score with weight
+    # recrawl_weight (the enrich stage adds score_carried × weight — zero
+    # for normal links, whose carried score is NULL).  None = off.
+    recrawl_every: int | None = None
+    recrawl_top: int = 1000
+    recrawl_weight: float = 1.0
+
     user_agent: str = (
         "Mozilla/5.0 (compatible; CustomCrawler/1.0; +http://example.com/bot)"
     )

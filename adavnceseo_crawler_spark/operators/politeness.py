@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .urlmine import url_template
+
 
 def per_host_topk(
     df: DataFrame,
@@ -75,6 +77,73 @@ def schedule_batch(
     return per_host.orderBy(*order).limit(batch_size)
 
 
+def trap_template_cap(
+    df: DataFrame,
+    threshold: int,
+    cap: int,
+    order: list,
+    salt_buckets: int = 8,
+) -> tuple[DataFrame, DataFrame | None, DataFrame, list[DataFrame]]:
+    """Crawler-trap guard (urlmine.mine_url_templates wired into the
+    scheduler): cells of more than ``threshold`` URLs sharing one
+    (host, url-template) are generated URL spaces — calendars, faceted
+    search, session ids — and admit only their top-``cap`` rows per round;
+    every other row passes untouched.  Runs BEFORE the politeness top-k so
+    a trap host's budget goes to its non-trap URLs instead of being eaten
+    by the capped cell (the round-level test's invariant).
+
+    Scale shape: the cell census ``groupBy(host, template)`` is the SAME
+    aggregation mine_url_templates runs (count(1) == count_distinct(url)
+    here — frontier rows are unique by url_hash), map-side combinable, so
+    hot cells partially aggregate before the exchange; the host-level
+    counts the politeness stage needs are a ROLLUP of the cell counts
+    (sum over the one-row-per-cell intermediate), so the corpus is
+    exchanged ONCE for both censuses — the template agg rides the exchange
+    the host census used to own (plan-pinned in tests/test_plans.py).
+    The flagged-cell set is frequency-bounded (≤ N/threshold rows) and
+    broadcast; only flagged cells' rows pay the salted two-stage cap
+    window, exactly the politeness skew machinery keyed by (host,
+    template).
+
+    Returns (kept, dropped, host_counts, caches): ``dropped`` rows stay in
+    the frontier (re-considered next round — the politeness-deferral
+    semantics), ``host_counts`` is the (host, _n) rollup for
+    schedule_batch_counted to reuse."""
+    with_t = df.withColumn("_tmpl", url_template(F.col("url")))
+    cell_counts = with_t.groupBy("host", "_tmpl").agg(
+        F.count(F.lit(1)).alias("_cn")
+    )
+    host_counts = cell_counts.groupBy("host").agg(F.sum("_cn").alias("_n"))
+    trap_cells = cell_counts.filter(F.col("_cn") > threshold).select(
+        "host", "_tmpl"
+    )
+    cols = df.columns
+    clean = with_t.join(
+        F.broadcast(trap_cells), ["host", "_tmpl"], "left_anti"
+    ).select(*cols)
+    trapped = with_t.join(
+        F.broadcast(trap_cells), ["host", "_tmpl"], "left_semi"
+    )
+    if salt_buckets > 1:
+        salted = trapped.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "_tmpl", "_salt").orderBy(*order)
+        ranked1 = salted.withColumn("_rn1", F.row_number().over(w1)).cache()
+        drop1 = ranked1.filter(F.col("_rn1") > cap).select(*cols)
+        stage2_in = ranked1.filter(F.col("_rn1") <= cap).drop("_rn1", "_salt")
+    else:
+        ranked1, drop1, stage2_in = None, None, trapped
+    w2 = Window.partitionBy("host", "_tmpl").orderBy(*order)
+    ranked2 = stage2_in.withColumn("_rn2", F.row_number().over(w2)).cache()
+    admitted = ranked2.filter(F.col("_rn2") <= cap).select(*cols)
+    drop2 = ranked2.filter(F.col("_rn2") > cap).select(*cols)
+    dropped = drop2 if drop1 is None else drop1.unionByName(drop2)
+    kept = clean.unionByName(admitted)
+    caches = [c for c in (ranked1, ranked2) if c is not None]
+    return kept, dropped, host_counts, caches
+
+
 def schedule_batch_counted(
     df: DataFrame,
     budget: int,
@@ -82,6 +151,8 @@ def schedule_batch_counted(
     salt_buckets: int = 8,
     mode: str = "priority",
     want_rejected: bool = True,
+    trap_threshold: int | None = None,
+    trap_cap: int = 5,
 ) -> tuple[DataFrame, int, DataFrame | None, list[DataFrame]]:
     """schedule_batch that skips the global cut when it cannot bind AND
     returns the politeness complement for free.
@@ -109,9 +180,25 @@ def schedule_batch_counted(
     leftover rows simply stay un-tombstoned in the frontier base, so the
     complement is never materialized): skips the ranked-intermediate caches
     entirely — the over-budget half of the frontier is not pinned in executor
-    memory — and returns ``rejected=None``."""
+    memory — and returns ``rejected=None``.
+
+    ``trap_threshold`` (CrawlConfig.trap_template_threshold) enables the
+    crawler-trap guard: per-(host, url-template) cells above the threshold
+    admit only ``trap_cap`` rows per round BEFORE the politeness top-k (see
+    trap_template_cap); the host census is then a rollup of the cell census,
+    so the guard adds no second corpus-wide aggregation."""
     order = _order_for(mode)
-    counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    trap_dropped: DataFrame | None = None
+    trap_caches: list[DataFrame] = []
+    if trap_threshold is not None:
+        df, trap_dropped, counts, trap_caches = trap_template_cap(
+            df, trap_threshold, trap_cap, order, salt_buckets
+        )
+        # counts are PRE-cap: a host the cap pushes back under budget still
+        # takes the window path, where top-k of ≤ budget rows is the
+        # identity — row set unaffected, no second census of the corpus.
+    else:
+        counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
     over_hosts = counts.filter(F.col("_n") > budget).select("host")
     under = df.join(over_hosts, "host", "left_anti")
     over = df.join(over_hosts, "host", "left_semi")
@@ -123,10 +210,10 @@ def schedule_batch_counted(
         ).cache()
         n_eligible = eligible.count()
         if n_eligible <= batch_size:
-            return eligible, n_eligible, None, [eligible]
+            return eligible, n_eligible, None, trap_caches + [eligible]
         scheduled = eligible.orderBy(*order).limit(batch_size).cache()
         scheduled.count()
-        return scheduled, batch_size, None, [eligible, scheduled]
+        return scheduled, batch_size, None, trap_caches + [eligible, scheduled]
 
     if salt_buckets > 1:
         salted = over.withColumn(
@@ -146,8 +233,15 @@ def schedule_batch_counted(
     eligible_over = ranked2.filter(F.col("_rn2") <= budget).select(*cols)
     eligible = under.unionByName(eligible_over).cache()
     rejected = drop2 if drop1 is None else drop1.unionByName(drop2)
+    if trap_dropped is not None:
+        # trap-capped rows are part of the complement: on compact rounds the
+        # frontier base is rewritten from (complement ∪ adds), and losing
+        # them would silently delete un-fetched URLs
+        rejected = trap_dropped.unionByName(rejected)
 
-    caches = [c for c in (ranked1, ranked2, eligible) if c is not None]
+    caches = trap_caches + [
+        c for c in (ranked1, ranked2, eligible) if c is not None
+    ]
     n_eligible = eligible.count()
     if n_eligible <= batch_size:
         return eligible, n_eligible, rejected, caches

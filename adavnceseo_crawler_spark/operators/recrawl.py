@@ -37,6 +37,7 @@ def change_rate_priority(
     ts_col: str = "ts",
     value_col: str = "value",
     order_col: str = "event_id",
+    now_ts=None,
 ) -> DataFrame:
     """Per-entity change statistics and re-crawl priority.
 
@@ -48,6 +49,12 @@ def change_rate_priority(
     observation to the corpus-wide latest timestamp, and
     ``priority = change_rate * age_days`` — the expected number of missed
     changes, the Cho–Garcia-Molina refresh ordering.
+
+    ``now_ts`` (datetime): explicit "now" for the age computation.  The
+    default (max observed ts) is the offline-analysis convention (q78's
+    oracle); the crawl scheduler passes the CURRENT round's timestamp so
+    pages observed in the latest logged round still age (plans/round.py's
+    re-enqueue trigger).
     """
     obs = events.select(
         F.col(id_col),
@@ -75,7 +82,14 @@ def change_rate_priority(
         F.sum("_changed").cast("long").alias("n_changes"),
         F.max("_ts_us").alias("_last_us"),
     )
-    now = events.agg(F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("_now_us"))
+    if now_ts is not None:
+        now = events.sparkSession.range(1).select(
+            F.unix_micros(F.lit(now_ts).cast("timestamp")).alias("_now_us")
+        )
+    else:
+        now = events.agg(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("_now_us")
+        )
     rate = F.col("n_changes") / F.greatest(F.col("n_obs") - 1, F.lit(1))
     age_days = (F.col("_now_us") - F.col("_last_us")) / F.lit(_US_PER_DAY)
     return (

@@ -85,7 +85,15 @@ def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
 # never desync engine and oracle; en_stem_py is the required-equal Python
 # mirror used to stem query terms (tested in test_misc_ops).
 # ---------------------------------------------------------------------------
-EN_STOPWORDS = ("the", "a", "an", "and", "or", "but", "in", "on", "at", "to")
+# Lucene's ENGLISH_STOP_WORDS_SET — the exact 33-word set the ES `english`
+# analyzer ships (org.apache.lucene.analysis.en.EnglishAnalyzer); the q56
+# oracle's token CTE is generated from this same tuple (queries._EN_TOKCOL).
+EN_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
 
 # Porter's measure>0 / contains-vowel conditions stand in as length guards
 # EMBEDDED in the pattern (``^(.{3,})ing$`` ⇔ "len > 5 and ends in ing" —
@@ -110,6 +118,60 @@ _EN_STEM_RULES = (
                            # eed words are the EED rule's alone — Porter's
                            # longest-suffix precedence, so speed/feed kept)
     ("^(.{2,})([a-z])y$", "$1$2i"),  # query -> queri (unifies with ies-stems)
+    # ---- steps 2-4: the full Porter suffix-mapping tables (round 5).
+    # Porter's m>0 / m>1 measure conditions are re-expressed as anchored
+    # prefix-length guards, same convention as step 1 above; within each
+    # step longer suffixes precede their sub-suffixes so sequential
+    # application matches Porter's longest-match-per-step on the table's
+    # own suffixes (a word rewritten by one rule no longer carries the
+    # shorter suffix).  Chain stays FLAT regexp_replace — linear codegen.
+    ("^(.{2,})ational$", "$1ate"),   # step 2 (m>0 ~ prefix >= 2)
+    ("^(.{2,})tional$", "$1tion"),   # conditional -> condition
+    ("^(.{2,})enci$", "$1ence"),
+    ("^(.{2,})anci$", "$1ance"),
+    ("^(.{2,})izer$", "$1ize"),
+    ("^(.{2,})abli$", "$1able"),
+    ("^(.{2,})alli$", "$1al"),
+    ("^(.{2,})entli$", "$1ent"),
+    ("^(.{2,})eli$", "$1e"),
+    ("^(.{2,})ousli$", "$1ous"),
+    ("^(.{2,})ization$", "$1ize"),   # organization -> organize (-> organ, s4)
+    ("^(.{2,})ation$", "$1ate"),     # information -> informate (-> inform)
+    ("^(.{2,})ator$", "$1ate"),
+    ("^(.{2,})alism$", "$1al"),
+    ("^(.{2,})iveness$", "$1ive"),   # effectiveness -> effective (-> effect)
+    ("^(.{2,})fulness$", "$1ful"),   # hopefulness -> hopeful (-> hope, s3)
+    ("^(.{2,})ousness$", "$1ous"),
+    ("^(.{2,})aliti$", "$1al"),      # (fed by the y->i rule: quality -> qual)
+    ("^(.{2,})iviti$", "$1ive"),
+    ("^(.{2,})biliti$", "$1ble"),
+    ("^(.{2,})icate$", "$1ic"),      # step 3
+    ("^(.{2,})ative$", "$1"),
+    ("^(.{2,})alize$", "$1al"),
+    ("^(.{2,})iciti$", "$1ic"),
+    ("^(.{2,})ical$", "$1ic"),       # electrical -> electric
+    ("^(.{3,})ful$", "$1"),
+    ("^(.{3,})ness$", "$1"),
+    ("^(.{4,})ement$", "$1"),        # step 4 (m>1 ~ prefix >= 4)
+    ("^(.{4,})ment$", "$1"),         # entertainment -> entertain
+    ("^(.{4,})ance$", "$1"),
+    ("^(.{4,})ence$", "$1"),
+    ("^(.{4,})able$", "$1"),
+    ("^(.{4,})ible$", "$1"),
+    ("^(.{4,})ant$", "$1"),
+    ("^(.{4,})ent$", "$1"),
+    ("^(.{4,})([st])ion$", "$1$2"),  # ion only after s/t (Porter's *S/*T)
+    ("^(.{4,})ism$", "$1"),
+    ("^(.{4,})ate$", "$1"),          # generate -> gener
+    ("^(.{4,})iti$", "$1"),
+    ("^(.{4,})ous$", "$1"),
+    ("^(.{4,})ive$", "$1"),
+    ("^(.{4,})ize$", "$1"),
+    ("^(.{5,})al$", "$1"),           # 2-char suffixes: stricter guard
+    ("^(.{5,})er$", "$1"),
+    ("^(.{5,})ic$", "$1"),
+    ("^(.{4,})e$", "$1"),            # step 5a (m>1, or m=1 not *o)
+    ("^(.{4,})ll$", "$1l"),          # step 5b: controll -> control
 )
 
 

@@ -119,6 +119,14 @@ TABLES = (
     "parsed", "round_metrics",
 )
 
+# external-input tables: snapshots are checkpoint-RECORDED (provenance) but
+# never rolled back — they model the world outside the crawler (the
+# synthetic web standing in for live HTTP, the robots corpus), which
+# legitimately changes between sessions; crash-replay consistency only
+# requires the engine's OWN state to rewind.  A replayed round reading a
+# newer web is exactly a real crawler re-fetching a page that changed.
+INPUT_TABLES = frozenset({"web", "robots"})
+
 
 def _checkpoint(spark: SparkSession, cat: SnapshotCatalog, round_no: int, stats: dict):
     snapshots = {
@@ -156,14 +164,18 @@ def rollback_to_checkpoint(spark: SparkSession, cat: SnapshotCatalog) -> None:
         return
     snapshots = snap.meta.get("snapshots", {})
     for table, sid in snapshots.items():
-        if cat.latest(table) is not None:
+        if table not in INPUT_TABLES and cat.latest(table) is not None:
             cat.rollback(table, int(sid))
     # tables with NO snapshot at this checkpoint (e.g. pages/parsed/
     # round_metrics before their first round) must be emptied entirely:
     # a crash after their round-(r+1) append would otherwise leave data
     # that the replay appends again (duplicate rows)
     for table in TABLES:
-        if table not in snapshots and cat.latest(table) is not None:
+        if (
+            table not in snapshots
+            and table not in INPUT_TABLES
+            and cat.latest(table) is not None
+        ):
             cat.rollback(table, -1)
 
 
@@ -199,12 +211,24 @@ def run_crawl(
         _checkpoint(spark, cat, p_round, p_stats)
         pending = None
 
-    for r in range(start, max_rounds):
+    r = start
+    while r < max_rounds:
         s = run_round(
             spark, cat, cfg, r, urls_in_hint=hint, consumed_rows_hint=cons_hint,
             on_barrier=_settle,
         )
         if s.get("done"):
+            # refresh mode (cfg.recrawl_every): a drained frontier is the
+            # normal end-state of a bounded synthetic web, but a production
+            # crawl then switches from discovery to freshness re-crawl —
+            # revive the frontier with the Cho–G-M re-enqueue and re-run
+            # this round.  Settle first: crawl_log is a deferred table.
+            if cfg.recrawl_every:
+                _settle()
+                n_revived = _recrawl_revive(spark, cat, cfg, r)
+                if n_revived > 0:
+                    hint, cons_hint = n_revived, cons_hint
+                    continue
             break
         handle = s.pop("pending", None)
         stats.append(s)
@@ -214,5 +238,28 @@ def run_crawl(
             pending = (r, s, handle)
         hint = s.get("next_frontier_rows")
         cons_hint = s.get("next_consumed_rows")
+        r += 1
     _settle()
     return stats
+
+
+def _recrawl_revive(spark, cat, cfg, round_no: int) -> int:
+    """Append Cho–G-M re-enqueue rows for ``round_no`` to a drained
+    frontier; returns the number of revived rows (0 = genuinely done).
+    Crash-safe: the append lands after the last checkpoint, so a crash
+    before the revived round completes rolls it back and the next run
+    re-revives deterministically."""
+    from .round import recrawl_rows_for, round_ts
+
+    rows = recrawl_rows_for(cat, cfg, round_ts(round_no), round_no)
+    if rows is None:
+        return 0
+    rows = rows.cache()
+    n = rows.count()
+    if n:
+        cat.commit(
+            "frontier", rows.select([f.name for f in schemas.FRONTIER.fields]),
+            mode="append", meta={"round": round_no, "revived": n},
+        )
+    rows.unpersist()
+    return n

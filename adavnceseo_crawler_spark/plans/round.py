@@ -111,6 +111,62 @@ def read_frontier(
     )
 
 
+def recrawl_rows_for(
+    cat: SnapshotCatalog,
+    cfg: CrawlConfig,
+    now: _dt.datetime,
+    next_round: int,
+    exclude: tuple = (),
+) -> DataFrame | None:
+    """Frontier rows for the Cho–Garcia-Molina freshness re-enqueue: the
+    cfg.recrawl_top crawled URLs with the highest (change_rate × age, then
+    age) over the crawl_log observation history, their priority carried in
+    the ``score`` column (blended into the scheduling score by run_round's
+    enrich stage).  ``exclude`` DataFrames (url_hash column) keep URLs that
+    are already pending, or were fetched in the still-uncommitted current
+    round, from re-entering.  Returns None when no history exists.
+
+    Scale: one history scan + one url_hash-keyed shuffle per trigger
+    (amortized by cfg.recrawl_every); the top-k cut is a TakeOrdered and
+    the exclusion probes broadcast sets bounded by recrawl_top / one
+    round's batch."""
+    hist = cat.read("crawl_log")
+    if hist is None:
+        return None
+    from ..operators.recrawl import change_rate_priority
+
+    pr = change_rate_priority(
+        hist.filter(F.col("success")),
+        id_col="url_hash",
+        ts_col="fetched_ts",
+        value_col="content_length",
+        order_col="round",
+        now_ts=now,
+    )
+    cand = pr.orderBy(
+        F.desc("priority"), F.desc("age_days"), F.asc("url_hash")
+    ).limit(cfg.recrawl_top)
+    for ex in exclude:
+        cand = cand.join(
+            F.broadcast(ex.select("url_hash")), "url_hash", "left_anti"
+        )
+    latest = hist.groupBy("url_hash").agg(
+        F.max_by("url", "round").alias("url"),
+        F.max_by("host", "round").alias("host"),
+    )
+    return cand.join(latest, "url_hash").select(
+        F.lit(next_round).alias("round"),
+        "url",
+        "url_hash",
+        "host",
+        F.lit(0).alias("depth"),
+        F.col("priority").cast("double").alias("score"),
+        F.lit(now).alias("discovered_ts"),
+        F.lit(next_round).cast("long").alias("seq"),
+        F.lit(0).alias("retries"),
+    )
+
+
 def run_round(
     spark: SparkSession,
     cat: SnapshotCatalog,
@@ -198,26 +254,33 @@ def run_round(
             "host",
             "left",
         )
+    score_expr = scoring.final_score(
+        F.col("path"),
+        F.col("path_depth"),
+        F.col("domain_score"),
+        F.col("last_crawled"),
+        F.lit(now),
+        F.col("avg_content_length"),
+        F.col("success_count"),
+        F.col("total_count"),
+        F.col("avg_crawl_time"),
+    )
+    if cfg.recrawl_every:
+        # re-enqueued rows carry their Cho–G-M refresh priority in the
+        # frontier ``score`` column (see the recrawl block below); blend it
+        # into the scheduling score.  Normal links carry NULL → +0, and with
+        # the feature off the expression is byte-identical to rounds 1-4
+        # (sim parity).
+        score_expr = score_expr + F.lit(cfg.recrawl_weight) * F.coalesce(
+            F.col("score"), F.lit(0.0)
+        )
     cand = (
         cand
         .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")))
         # NB: damping depth is PATH-segment depth (prioritizer.py:92), not the
         # crawl-hop depth the frontier tracks.
         .withColumn("path_depth", path_depth(F.col("path")))
-        .withColumn(
-            "score",
-            scoring.final_score(
-                F.col("path"),
-                F.col("path_depth"),
-                F.col("domain_score"),
-                F.col("last_crawled"),
-                F.lit(now),
-                F.col("avg_content_length"),
-                F.col("success_count"),
-                F.col("total_count"),
-                F.col("avg_crawl_time"),
-            ),
-        )
+        .withColumn("score", score_expr)
     )
 
     # ---- robots (F5) ----------------------------------------------------------
@@ -237,6 +300,8 @@ def run_round(
     scheduled, n_scheduled, leftover, _sched_caches = schedule_batch_counted(
         allowed, cfg.politeness_budget, cfg.batch_size, cfg.salt_buckets,
         mode=cfg.dequeue_mode, want_rejected=compact,
+        trap_threshold=cfg.trap_template_threshold,
+        trap_cap=cfg.trap_admit_per_round,
     )
     tick("schedule")
 
@@ -490,6 +555,24 @@ def run_round(
             (F.col("retries") + 1).alias("retries"),
         )
     )
+    # ---- freshness re-crawl (Cho–Garcia-Molina, operators/recrawl) -------------
+    # Every cfg.recrawl_every rounds, re-enqueue the already-crawled URLs
+    # most likely to have changed: priority = change_rate × age over the
+    # crawl_log observation history (content_length as the content
+    # fingerprint proxy; ties broken by age so never-revisited pages
+    # bootstrap their histories).  The priority rides the frontier row's
+    # ``score`` column and is blended into next round's scheduling score
+    # (enrich stage above).  Scale: one history scan + one url_hash-keyed
+    # shuffle per TRIGGER round (amortized by recrawl_every); the top-k cut
+    # is a TakeOrdered, and both exclusion joins probe with sets bounded by
+    # recrawl_top / this round's batch.
+    recrawl_rows = None
+    if cfg.recrawl_every and (round_no + 1) % cfg.recrawl_every == 0:
+        # a URL still pending in the frontier, or fetched THIS round (its
+        # log rows aren't committed yet), must not re-enter
+        recrawl_rows = recrawl_rows_for(
+            cat, cfg, now, round_no + 1, exclude=(frontier, scheduled)
+        )
     # ---- commits (snapshot per table, then the round checkpoint) --------------------
     # url_metadata MERGE (J7): upsert rows for every fetched/failed url.
     # Merge-on-read: normal rounds APPEND only this round's upsert rows
@@ -556,6 +639,8 @@ def run_round(
     ]
 
     adds = retry.unionByName(new_entries).select(*front_cols)
+    if recrawl_rows is not None:
+        adds = adds.unionByName(recrawl_rows.select(*front_cols))
     obs_front = Observation()
     obs_adds = Observation()
     obs_cons = Observation()

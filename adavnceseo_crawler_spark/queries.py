@@ -2377,11 +2377,20 @@ def _bm25_en_terms() -> list[str]:
     return sorted({en_stem_py(t) for t in _BM25_EN_QUERY})
 
 
-_EN_TOKCOL = (
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
-    "x -> x <> '' AND x NOT IN "
-    "('the','a','an','and','or','but','in','on','at','to'))"
-)
+def _en_tokcol() -> str:
+    """The english-analyzer token expression, GENERATED from the engine's
+    own stopword set (search.EN_STOPWORDS — Lucene's english stop set) so
+    the oracle can never desync from the JVM filter."""
+    from .operators.search import EN_STOPWORDS
+
+    stops = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+    return (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+        f"x -> x <> '' AND x NOT IN ({stops}))"
+    )
+
+
+_EN_TOKCOL = _en_tokcol()
 
 
 def _make_q56_sql() -> str:

@@ -280,6 +280,17 @@ def test_en_stem_column_matches_python_mirror(spark):
         # possessives / apostrophes (Porter step-1 extension, VERDICT r3 #6)
         "dog's", "crawler's", "sites'", "'quoted'", "''", "'s", "o'clock",
         "agreed's", "proceed", "speed", "freed",
+        # steps 2-5 (round 5, VERDICT r4 #6): suffix-table + measure-guard
+        # words through every new rule family
+        "organization", "conditional", "relational", "rational", "agencies",
+        "effectiveness", "hopefulness", "callousness", "electrical",
+        "information", "operator", "feudalism", "quality", "activity",
+        "sensibility", "duplicate", "formative", "formalize", "electriciti",
+        "useful", "darkness", "entertainment", "replacement", "allowance",
+        "dependence", "adjustable", "defensible", "irritant", "different",
+        "adoption", "decision", "communism", "generate", "angulariti",
+        "homologous", "effective", "bowdlerize", "radical", "crawler",
+        "electric", "piece", "controll", "roll", "see", "use",
     ]
     df = spark.createDataFrame([(w,) for w in words], "w string")
     got = {r["w"]: r["s"] for r in df.select("w", en_stem(F.col("w")).alias("s")).collect()}
