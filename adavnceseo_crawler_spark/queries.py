@@ -3971,139 +3971,168 @@ def q83(spark, sf):
 
 
 # =============================================================================
-# Driver-window ordering (VERDICT r3 Next-round #2).  The driver's
-# CORRECTNESS_r{N} file records the FIRST 50 registry entries in iteration
-# order; with 54 registered, four fall outside.  Put the newest,
-# least-driver-proven queries first and push the four TPC-H-style demo
-# queries (whose operator families are redundantly evidenced: A1/A2 by
-# q05/q06, A3/O3's sort+limit shape by q06/q12/q36, W4 by q36, generic
-# join/agg by the whole crawl surface) past the window — they keep full
-# local-oracle coverage via tests/test_queries_oracle.py.
+# Round-5 scheduler wiring (VERDICT r4 #2): the trap-template guard as an
+# oracle-checked scheduling query.  The synthetic frontier is derived from
+# documents by identical expressions on both sides: 7 hosts; even doc_ids
+# form per-host /cal/<N> calendar-trap cells (all collapse to ONE template
+# '/cal/N'), odd doc_ids get letter-distinct paths (distinct templates).
+# Engine side: the REAL schedule_batch_counted with trap_threshold/cap —
+# the same code path plans/round.py runs; oracle: the cell census, cap
+# rank, host budget rank and global cut replayed as SQL windows.
 # =============================================================================
+@q(
+    "q84_trap_capped_schedule",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+             CASE WHEN doc_id % 2 = 0 THEN '/cal/' || CAST(doc_id AS VARCHAR)
+                  ELSE '/' || chr(97 + CAST(doc_id % 26 AS INT))
+                           || chr(97 + CAST((doc_id // 26) % 26 AS INT))
+                           || chr(97 + CAST((doc_id // 676) % 26 AS INT))
+             END AS url,
+             CAST(doc_id * 37 % 1000 AS DOUBLE) / 10.0 AS score,
+             doc_id AS seq
+      FROM documents),
+    t AS (
+      SELECT *, regexp_replace(regexp_replace(
+               regexp_replace(url, '^https?://[^/]*', ''),
+               '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS tmpl
+      FROM f),
+    cc AS (
+      SELECT host, tmpl, count(*) AS cn FROM t GROUP BY host, tmpl),
+    capped AS (
+      SELECT t.host, t.url, t.score, t.seq,
+             CASE WHEN cc.cn > 20 THEN
+               row_number() OVER (PARTITION BY t.host, t.tmpl
+                                  ORDER BY t.score DESC, t.url ASC)
+             ELSE 1 END AS cell_rn
+      FROM t JOIN cc ON t.host = cc.host AND t.tmpl = cc.tmpl),
+    eligible AS (
+      SELECT host, url, score, seq,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY score DESC, url ASC) AS host_rn
+      FROM capped WHERE cell_rn <= 3)
+    SELECT host, url, round(score, 6) AS score
+    FROM eligible WHERE host_rn <= 5
+    ORDER BY score DESC, url ASC LIMIT 30
+    """,
+)
+def q84(spark, sf):
+    """Trap-capped scheduling (operators/politeness.trap_template_cap via
+    schedule_batch_counted — the exact code path plans/round.py wires in):
+    calendar-trap cells above the threshold admit their top-3 per round
+    while letter-path URLs pass through; then the per-host politeness
+    budget and the global cut.  The oracle replays the cell census + cap
+    rank + budget rank as SQL windows."""
+    from .operators.politeness import schedule_batch_counted
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com"))
+    letters = F.concat(
+        F.lit("/"),
+        F.char(F.lit(97) + (F.col("doc_id") % 26).cast("int")),
+        F.char(F.lit(97) + ((F.col("doc_id") / 26).cast("long") % 26).cast("int")),
+        F.char(F.lit(97) + ((F.col("doc_id") / 676).cast("long") % 26).cast("int")),
+    )
+    path = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("/cal/"), F.col("doc_id").cast("string")),
+    ).otherwise(letters)
+    frontier = d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        ((F.col("doc_id") * 37 % 1000) / 10.0).alias("score"),
+        F.col("doc_id").alias("seq"),
+    )
+    sched, _, _, _ = schedule_batch_counted(
+        frontier, budget=5, batch_size=30, salt_buckets=4,
+        trap_threshold=20, trap_cap=3,
+    )
+    return sched.select("host", "url", F.round("score", 6).alias("score"))
+
+
+@q("q85_crawl_refresh_rounds")
+def q85(spark, sf):
+    """Rows-only: four BSP rounds with BOTH round-5 scheduler features live
+    — the trap-template guard capping per-(host, template) admissions and
+    Cho–G-M refresh mode reviving the drained frontier (plans/loop.py
+    _recrawl_revive) — returning per-URL fetch counts.  Deterministic
+    (synthetic web + round timestamps) but the refresh loop's fixpoint is
+    not expressible as one SQL query; the loop-level invariants (cap per
+    round, revival, change-rate ranking) are pinned by
+    tests/test_trap_recrawl.py instead."""
+    import tempfile
+
+    from . import synth
+    from .catalog import SnapshotCatalog
+    from .config import CrawlConfig
+    from .plans import loop
+
+    cfg = CrawlConfig(
+        politeness_budget=4, batch_size=60, max_rounds=4,
+        trap_template_threshold=25, trap_admit_per_round=2,
+        recrawl_every=2, recrawl_top=10,
+    )
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="crawlq85_"))
+    n, h = 150, 6
+    loop.bootstrap(
+        spark, cat, cfg,
+        synth.gen_seeds(spark, n, h),
+        synth.gen_pages(spark, n, h, partitions=8),
+        synth.gen_robots(spark, h),
+    )
+    loop.run_crawl(spark, cat, cfg)
+    return (
+        cat.read("crawl_log")
+        .groupBy("url", "host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.min("round").cast("int").alias("first_round"),
+            F.max("round").cast("int").alias("last_round"),
+        )
+    )
+
+
+# =============================================================================
+# Driver-window ordering with ROTATION (VERDICT r4 Next-round #8).  The
+# driver's CORRECTNESS_r{N} file records the FIRST 50 registry entries in
+# iteration order; with 80+ registered, the rest would otherwise only ever
+# have local-oracle evidence.  Policy:
+#
+# * _WINDOW_HEAD pins this round's NEW or CHANGED queries — they must earn
+#   fresh driver evidence unconditionally;
+# * every other query joins a deterministic two-phase rotation keyed by
+#   _ROTATION_EPOCH (bump to the round number each round): the sorted
+#   non-head names split by index parity, and the epoch-matching half goes
+#   first.  A query outside this round's window is in the front half of
+#   the next round's, so every query re-earns driver evidence at least
+#   every ~2 rounds (head size permitting) — closing the silent-regression
+#   surface of a permanently-windowed-out tail.  All entries keep full
+#   local-oracle coverage every round via tests/test_queries_oracle.py.
+# =============================================================================
+_ROTATION_EPOCH = 5  # = the build round; bump at each round start
+
 _WINDOW_HEAD = [
-    "q48_centroid_classifier",
-    "q53_ols_embedding_rank",
-    "q55_ner_tagger",
-    "q56_bm25_english_analyzer",
-    "q60_neardup_components",
-    "q61_quota_sample",
-    "q62_gopher_repetition",
-    "q63_decontaminate",
-    "q64_lm_perplexity",
-    "q65_host_pagerank",
-    "q66_url_template_traps",
-    "q67_repeated_passages",
-    "q68_chunk_documents",
-    "q69_token_budget_mix",
-    "q70_pii_scrub",
-    "q71_nfc_normalize",
-    "q72_corpus_pipeline",
-    "q73_pack_sequences",
-    "q74_warc_ingest",
-    "q75_line_dedup",
-    "q76_bpe_tokenize",
-    "q77_ccnet_buckets",
-    "q78_recrawl_priority",
-    "q79_source_boilerplate",
-    "q80_source_lang_mix",
-    "q81_importance_sample",
-    "q82_passage_scrub",
-]
-_WINDOW_TAIL = [
-    # A1's ES-aggs family keeps driver evidence via q06_domain_stats, and
-    # C14's word count is unit-test-pinned (textstats) with q20 covering the
-    # same column family; q05/q21 move past the window to keep it at 50 with
-    # q60/q61 added (still fully local-oracle-checked like every tail entry).
-    "q05_events_daily",
-    "q21_token_count",
-    # r4 additions q62-q64 push three more redundantly-evidenced entries
-    # out: A4's word-split+count shape is exercised by q15 (same split, same
-    # agg plus ranking); q23 is the documented small-n baseline whose scale
-    # path IS q26's MinHash-LSH; q24 brute-force cosine is literally the
-    # oracle definition of the ANN family driver-evidenced by q29/q47/q49.
-    "q14_word_freq",
-    "q23_ngram_jaccard_pairs",
-    "q24_cosine_topk",
-    # q65 displaces q07: F1 scheme-normalize is a sub-step of the F8
-    # canonicalizer (idempotence property + sim byte-parity) and the URL
-    # function family keeps driver evidence via q08.
-    "q07_url_normalize",
-    # q66/q67 displace two more redundantly-evidenced entries: q18's TF
-    # search score is the documented approximation whose real versions are
-    # the driver-evidenced BM25 family (q46/q54/q56); q25's labeled
-    # crossJoin is the oracle baseline whose scale paths are q29/q47/q49.
-    "q18_search_score",
-    "q25_neardup_cosine_pairs",
-    # q68/q69 displace: q42's base OLS prioritizer keeps U10 driver
-    # evidence via the strictly-superset q53 (OLS + embedding regressor);
-    # q34's get_json_object extraction is a single built-in whose local
-    # oracle has been green every round (C15's remaining surface is pinned
-    # by tests, and JSON round-tripping also rides the q35 TTL path's
-    # metadata handling).
-    "q42_ml_blended_rank",
-    "q34_json_extract",
-    # q70/q71 displace: C11 freshness buckets and C16 keyword-relevance
-    # multipliers are sub-terms of the U9 priority formula, whose COMBINED
-    # value is replayed byte-for-byte by the crawl-vs-sim order-parity
-    # tests every round (and the blended ranks q09/q53 stay windowed).
-    "q10_freshness_buckets",
-    "q45_keyword_relevance",
-    "q01_pricing_summary",
-    "q02_top_sources",
-    "q03_revenue_by_nation",
-    "q04_topk_orders_per_customer",
-    # q57/q58/q59 (real image/audio/video decode — newest, least
-    # driver-proven) move INTO the window; displaced, each with redundant
-    # evidence: q30's byte-histogram stub path is strictly superseded by the
-    # real decoders (same multimodal plumbing, real codecs), q33's
-    # exponential backoff is a pure column expr replayed by the httpfetch
-    # in-request backoff test, and q44's gazetteer entity stub is superseded
-    # by the driver-windowed trained NER tagger (q55).  All tail entries
-    # keep full local-oracle coverage via tests/test_queries_oracle.py.
-    "q30_multimodal_features",
-    "q33_retry_backoff",
-    "q44_entity_stub",
-    # q72/q73 displace: q41's URL feature flags are consumed verbatim by the
-    # driver-windowed blended ranks (q53, q48), and q32's set-dedup/union are
-    # single built-in array ops pinned by unit tests since round 1.
-    "q41_url_features",
-    "q32_set_ops",
-    # q74 displaces: q28's fingerprint UDF has a collision-freeness contract
-    # unit test, and the passage-fingerprint family keeps driver evidence
-    # via the windowed q67 repeated-passage stats.
-    "q28_fingerprint",
-    # q75 displaces: q40's incremental domain-score update is replayed
-    # byte-for-byte by the crawl-vs-sim parity tests every round.
-    "q40_domain_score",
-    # q76 displaces: q43's whitespace-collapse cleaner is a single built-in
-    # regexp chain whose components also ride the windowed q70/q71 scrubbers.
-    "q43_content_cleaner",
-    # q77 displaces: q39's internal/external link classify is a single
-    # equality predicate whose join shape rides the sim parity every round.
-    "q39_link_classify",
-    # q78-q81 displace four entries that are driver-green since rounds 1-3
-    # with their operator families still windowed elsewhere: q54's
-    # best-fields BM25 keeps T1 driver evidence via q46 (standard) + q56
-    # (english analyzer); q29's single-query LSH keeps ANN evidence via the
-    # windowed q47 batch join + q49 IVF; q12's priority top-k keeps W1
-    # evidence via q11 + the q31 crawl round's sim order parity; q16's
-    # content-type argmax shares its module and driver family with the
-    # windowed q17 quality score.
-    "q54_bm25_best_fields",
-    "q29_lsh_ann_topk",
-    "q12_priority_topk",
-    "q16_content_classify",
-    # q82 displaces: q27's SimHash candidate generation is the documented
-    # alternative near-dup path; the production near-dup family keeps driver
-    # evidence via the windowed q26 (MinHash-LSH verified pairs) + q60
-    # (clustering), and q27 has been driver-green rounds 1-3.
-    "q27_simhash_candidates",
+    # round 5: new queries + queries whose engine code changed this round
+    "q83_png_decode_features",     # new: PNG codec
+    "q84_trap_capped_schedule",    # new: trap guard wiring
+    "q85_crawl_refresh_rounds",    # new: refresh-mode crawl (rows-only)
+    "q57_image_decode_features",   # synth_media_real now rotates PNG in
+    "q56_bm25_english_analyzer",   # Porter steps 2-5 + full stop set
+    "q70_pii_scrub",               # unbounded PHONE_RE
+    "q71_nfc_normalize",           # vectorized NFC path
+    "q30_multimodal_features",     # extract_features gained 'decoded'
 ]
 
 
 def _window_order(d: dict) -> dict:
-    mid = [k for k in d if k not in _WINDOW_HEAD and k not in _WINDOW_TAIL]
-    return {k: d[k] for k in [*_WINDOW_HEAD, *mid, *_WINDOW_TAIL] if k in d}
+    rest = sorted(k for k in d if k not in _WINDOW_HEAD)
+    first = [k for i, k in enumerate(rest) if (i + _ROTATION_EPOCH) % 2 == 0]
+    second = [k for i, k in enumerate(rest) if (i + _ROTATION_EPOCH) % 2 == 1]
+    ordered = [*_WINDOW_HEAD, *first, *second]
+    return {k: d[k] for k in ordered if k in d}
 
 
 QUERIES = _window_order(QUERIES)

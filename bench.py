@@ -73,6 +73,8 @@ HEADLINE = [
     "q80_source_lang_mix",
     "q81_importance_sample",
     "q82_passage_scrub",
+    "q83_png_decode_features",
+    "q84_trap_capped_schedule",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
