@@ -5,9 +5,10 @@ a 100 TB training-data pipeline stores them next to text.  The Spark-side
 plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures, partitioning
 by modality — is real and tested.
 
-Codecs: decode is REAL for five formats the stdlib can parse — 24-bit BMP,
+Codecs: decode is REAL for six formats the stdlib can parse — 24-bit BMP,
 binary PPM (P6), PNG (RGB8: zlib inflate + per-scanline unfilter,
-round 5), PCM16 WAV, and uncompressed RGB24 AVI — so ``decode_real``
+round 5), GIF (variable-width LZW, palette-exact, round 5), PCM16 WAV,
+and uncompressed RGB24 AVI — so ``decode_real``
 produces actual pixel/sample arrays and ``extract_features(...,
 decode="real")`` computes dimensions + channel statistics + histograms
 from ACTUAL data (encode→decode roundtrips are exact and unit-tested).
@@ -285,6 +286,175 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Real GIF codec (pure Python LZW): GIF87a/89a, global palette, first image
+# block, non-interlaced.  GIF is palettized, so decode is EXACT (palette
+# lookup), and any image with <= 256 distinct colors roundtrips
+# byte-identically through encode_gif -> decode_gif.  Variable-width
+# LSB-first LZW with clear/EOI codes and 4096-entry table resets, per the
+# GIF89a spec.  Interlace and local color tables are rejected explicitly.
+# ---------------------------------------------------------------------------
+def _lzw_encode(indices, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices:
+        cand = seq + (int(px),)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        seq = (int(px),)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_px: int) -> list[int]:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[tuple] = [(i,) for i in range(1 << mcs)] + [(), ()]
+    out: list[int] = []
+    acc = nbits = pos = 0
+    prev: tuple | None = None
+    while len(out) < n_px:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(1 << mcs)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the cScSc special case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_px]
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 with <= 256 distinct colors -> GIF89a (global
+    palette, one image block, non-interlaced)."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, indices = np.unique(flat, axis=0, return_inverse=True)
+    n = len(colors)
+    if n > 256:
+        raise ValueError(f"GIF needs <= 256 distinct colors, got {n}")
+    depth = max(1, (n - 1).bit_length())  # palette size = 2^depth
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[:n] = colors
+    mcs = max(2, depth)
+    head = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])  # global table, 2^depth entries
+        + pal.tobytes()
+    )
+    desc = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+    )
+    lzw = _lzw_encode(indices.astype(np.int64), mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a (global palette, non-interlaced) -> (H, W, 3) uint8 of
+    the FIRST image block; extensions are skipped per the spec."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = payload[10]
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("unsupported GIF variant: no global color table")
+    pal_n = 2 << (flags & 7)
+    pal = np.frombuffer(payload, np.uint8, pal_n * 3, pos).reshape(pal_n, 3)
+    pos += pal_n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            iflags = payload[pos + 9]
+            if iflags & 0xC0:
+                raise ValueError(
+                    "unsupported GIF variant: local color table / interlace"
+                )
+            pos += 10
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data.extend(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), mcs, w * h)
+            return pal[np.array(idx, dtype=np.int64)].reshape(h, w, 3).copy()
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image block")
+
+
+# ---------------------------------------------------------------------------
 # Real audio codec (pure stdlib + numpy): RIFF/WAVE, 16-bit PCM mono.
 # ---------------------------------------------------------------------------
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -455,15 +625,16 @@ _IMAGE_DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
+    "image/gif": decode_gif,
 }
 
 
 def decode_real(payload: bytes, mime: str):
-    """Real decode: (H, W, 3) uint8 pixels for BMP/PPM/PNG, (samples, rate)
-    for PCM WAV, (N, H, W, 3) frames for RGB24 AVI; everything else
-    (JPEG, compressed audio, H.264) raises with the integration point
-    documented (PIL/torchaudio/ffmpeg are not installable in this
-    sandbox)."""
+    """Real decode: (H, W, 3) uint8 pixels for BMP/PPM/PNG/GIF,
+    (samples, rate) for PCM WAV, (N, H, W, 3) frames for RGB24 AVI;
+    everything else (JPEG, compressed audio, H.264) raises with the
+    integration point documented (PIL/torchaudio/ffmpeg are not
+    installable in this sandbox)."""
     dec = _IMAGE_DECODERS.get(mime)
     if dec is not None:
         return dec(payload)
@@ -633,6 +804,20 @@ def synth_media_real(spark, n: int = 60) -> DataFrame:
         else:
             payload, mime = encode_png(px, filter_type=i % 5), "image/png"
         rows.append((i, "image", payload, (mime, w, h, None)))
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def synth_media_gif(spark, n: int = 40) -> DataFrame:
+    """Deterministic all-GIF media table over synth_pixels (w·h ≤ 126 ≤
+    256 colors, so the palette is exact).  The q86 oracle recomputes
+    features from the pixel formula, never LZW-decoding anything."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 6, 6 + i % 5
+        px = synth_pixels(i, w, h)
+        rows.append(
+            (i, "image", encode_gif(px), ("image/gif", w, h, None))
+        )
     return spark.createDataFrame(rows, MEDIA)
 
 

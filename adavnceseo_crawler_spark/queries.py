@@ -4053,6 +4053,81 @@ def q84(spark, sf):
     return sched.select("host", "url", F.round("score", 6).alias("score"))
 
 
+@q(
+    "q86_gif_decode_features",
+    """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(8 + i % 6 AS BIGINT) AS w,
+             CAST(6 + i % 5 AS BIGINT) AS h
+      FROM range(0, 40) t(i)),
+    px AS (
+      SELECT media_id, w, h,
+             (x * 31 + media_id * 7) % 256 AS r,
+             (y * 53 + media_id * 13) % 256 AS g,
+             (x * y + media_id) % 256 AS b
+      FROM m, unnest(range(0, h)) ty(y), unnest(range(0, w)) tx(x)),
+    sums AS (
+      SELECT media_id, w, h,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b
+      FROM px GROUP BY media_id, w, h),
+    bins AS (
+      SELECT media_id, (299 * r + 587 * g + 114 * b) * 11 // 255001 AS bin,
+             count(*) AS cnt
+      FROM px GROUP BY media_id, bin),
+    grid AS (
+      SELECT m.media_id, CAST(kk AS BIGINT) AS bin
+      FROM m, unnest(range(0, 11)) t2(kk)),
+    hist AS (
+      SELECT grid.media_id,
+             array_to_string(
+               list(CAST(coalesce(bins.cnt, 0) AS INT) ORDER BY grid.bin),
+               ',') AS hist11
+      FROM grid LEFT JOIN bins
+        ON grid.media_id = bins.media_id AND grid.bin = bins.bin
+      GROUP BY grid.media_id)
+    SELECT s.media_id, CAST(s.w AS INT) AS w, CAST(s.h AS INT) AS h,
+           s.sum_r, s.sum_g, s.sum_b, hist.hist11,
+           TRUE AS decoded
+    FROM sums s JOIN hist ON s.media_id = hist.media_id
+    """,
+)
+def q86(spark, sf):
+    """Multimodal REAL GIF decode (operators/multimodal.decode_gif):
+    variable-width LSB-first LZW with clear/EOI handling plus the palette
+    lookup, all inside the Arrow-batched mapInPandas UDF; the oracle
+    recomputes features from synth_pixels' formula without touching a GIF
+    byte (q83's discipline), and the ``decoded`` audit flag must be TRUE
+    on every row."""
+    from .operators.multimodal import extract_features, synth_media_gif
+
+    media = synth_media_gif(spark, n=40)
+    feats = extract_features(media, decode="real")
+    f = F.col("feature")
+    w = F.round(f[0]).cast("int")
+    h = F.round(f[1]).cast("int")
+    npx = (w * h).cast("long")
+    hist11 = F.array_join(
+        F.transform(
+            F.slice(f, 6, 11),
+            lambda x: F.round(x * npx).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.round(f[2] * npx).cast("long").alias("sum_r"),
+        F.round(f[3] * npx).cast("long").alias("sum_g"),
+        F.round(f[4] * npx).cast("long").alias("sum_b"),
+        hist11.alias("hist11"),
+        "decoded",
+    )
+
+
 @q("q85_crawl_refresh_rounds")
 def q85(spark, sf):
     """Rows-only: four BSP rounds with BOTH round-5 scheduler features live
@@ -4117,6 +4192,7 @@ _ROTATION_EPOCH = 5  # = the build round; bump at each round start
 _WINDOW_HEAD = [
     # round 5: new queries + queries whose engine code changed this round
     "q83_png_decode_features",     # new: PNG codec
+    "q86_gif_decode_features",     # new: GIF codec (LZW)
     "q84_trap_capped_schedule",    # new: trap guard wiring
     "q85_crawl_refresh_rounds",    # new: refresh-mode crawl (rows-only)
     "q57_image_decode_features",   # synth_media_real now rotates PNG in

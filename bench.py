@@ -75,6 +75,7 @@ HEADLINE = [
     "q82_passage_scrub",
     "q83_png_decode_features",
     "q84_trap_capped_schedule",
+    "q86_gif_decode_features",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

@@ -459,6 +459,50 @@ def test_png_codec_roundtrip_pure():
         decode_png(gray)
 
 
+def test_gif_codec_roundtrip_pure():
+    """decode_gif(encode_gif(px)) == px exactly for palette-expressible
+    images, across LZW table growth (12-bit codes), table resets, the
+    multi-chunk sub-block framing and the 2-color mcs floor; unsupported
+    variants rejected."""
+    import numpy as np
+    import pytest
+
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        decode_gif,
+        decode_real,
+        encode_gif,
+        synth_pixels,
+    )
+
+    for i in range(8):
+        px = synth_pixels(i, 8 + i % 6, 6 + i % 5)
+        assert np.array_equal(decode_gif(encode_gif(px)), px), i
+    # 16-color 200x150: multi-chunk LZW stream + repeated-run cScSc paths
+    rng = np.arange(200 * 150, dtype=np.int64)
+    few = ((rng * rng * 7919) % 16).astype(np.uint8)
+    px = np.stack([few * 16, 255 - few * 16, (few * 37) % 256],
+                  axis=-1).astype(np.uint8).reshape(150, 200, 3)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+    # 256 colors: code width grows to 12 bits and the table resets
+    big = np.arange(64 * 64, dtype=np.int64) % 256
+    px2 = np.stack([big, (big * 3) % 256, (big * 7) % 256],
+                   axis=-1).astype(np.uint8).reshape(64, 64, 3)
+    assert np.array_equal(decode_gif(encode_gif(px2)), px2)
+    # 2 colors: min code size floors at 2 per the spec
+    px3 = np.zeros((5, 7, 3), np.uint8)
+    px3[::2] = 255
+    assert np.array_equal(decode_gif(encode_gif(px3)), px3)
+    assert np.array_equal(decode_real(encode_gif(px3), "image/gif"), px3)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="no global color table"):
+        decode_gif(b"GIF89a" + b"\x08\x00\x06\x00\x00\x00\x00" + b"\x3b")
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        k = np.arange(400, dtype=np.int64)  # 400 distinct colors
+        rgb = np.stack([k % 256, k // 256, k * 0], axis=-1)
+        encode_gif(rgb.astype(np.uint8).reshape(20, 20, 3))
+
+
 def test_wav_codec_roundtrip_pure():
     """decode_wav(encode_wav(s)) == s exactly; chunk-walk handles extra
     chunks; non-PCM/stereo variants rejected."""
