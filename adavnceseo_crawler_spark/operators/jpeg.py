@@ -1,0 +1,562 @@
+"""Baseline JPEG codec, pure numpy + stdlib — no libjpeg/PIL.
+
+Closes the "JPEG = NotImplementedError" boundary in multimodal.decode_real
+for the single most common web image format.  Everything here is the public
+ITU-T T.81 spec: the Annex K quantization/Huffman tables, the zigzag order,
+the canonical-Huffman code assignment, byte stuffing, and the JFIF
+component layout.  Reference parity target: the reference pipeline decodes
+crawled images with PIL (image_processor.py's thumbnailing path); this is
+the sandbox-honest stand-in with the same decode semantics for baseline
+sequential JPEGs.
+
+Encoder: baseline sequential DCT, 8-bit, grayscale or color (4:4:4 or
+4:2:0), libjpeg-style quality scaling (quality=100 -> all-ones quant
+tables: the encoder then stores round(DCT) losslessly, which makes
+8x8-block-constant images roundtrip EXACTLY — the q87 oracle exploits
+this).  Decoder: baseline (SOF0) and extended-sequential (SOF1) scans,
+1 or 3 components, sampling factors up to 2x2, DRI/RSTn restart markers;
+progressive (SOF2), arithmetic coding and 12-bit precision raise
+ValueError — rejected explicitly, never mis-decoded.
+
+DCT/IDCT run as batched float64 matrix products over all blocks of a
+component at once (einsum); only the entropy coding is a per-symbol Python
+loop, which is the same row-local, linear-in-payload work the PNG
+unfilter loop does — fine inside an Arrow-batched mapInPandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Public spec constants (ITU-T T.81 Annex K).
+# ---------------------------------------------------------------------------
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# (BITS[1..16], HUFFVAL) per Annex K.3.3.
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: coefficients = C @ block @ C.T."""
+    x = np.arange(8, dtype=np.float64)
+    u = x[:, None]
+    c = np.cos((2 * x[None, :] + 1) * u * np.pi / 16.0) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100; 100 -> all-ones (lossless DCT
+    storage), 50 -> the Annex K table verbatim."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the T.81 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {(ln, code): sym for sym, (code, ln) in
+            _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+    def raw_marker(self, marker: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DC/AC amplitude coding: value -> (category, extra bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) padded plane -> (nby, nbx, 8, 8) float64 blocks."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_component_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shift, DCT and quantize every 8x8 block of a plane at once:
+    returns (nby, nbx, 64) int32 zigzagged quantized coefficients."""
+    blocks = _plane_blocks(plane.astype(np.float64) - 128.0)
+    coef = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+    qz = np.round(coef.reshape(*coef.shape[:2], 64)[..., ZIGZAG]
+                  / qtab[np.newaxis, np.newaxis, :])
+    return qz.astype(np.int32)
+
+
+def _pad_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (bh, bw) multiples of 8."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    clip = lambda a: np.clip(np.round(a), 0, 255)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dqt_seg(tid: int, table: np.ndarray) -> bytes:
+    return _seg(0xDB, bytes([tid]) + bytes(int(v) for v in table))
+
+
+def _dht_seg(tclass: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    return _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JFIF JPEG (4:4:4, or 4:2:0 with
+    ``subsample=True``); (H, W) uint8 -> grayscale JPEG.  quality=100
+    stores round(DCT) exactly (all-ones quant tables).  A nonzero
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qy = scaled_quant(QUANT_LUMA[ZIGZAG], quality)       # zigzag order
+    qc = scaled_quant(QUANT_CHROMA[ZIGZAG], quality)
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        qmap = [qy]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(pixels)
+        if subsample:
+            # 2x2 mean chroma; pad odd dims by edge replication first
+            cbp = _pad_plane(cb, (h + 1) & ~1, (w + 1) & ~1)
+            crp = _pad_plane(cr, (h + 1) & ~1, (w + 1) & ~1)
+            ds = lambda p: np.round(  # noqa: E731
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3)))
+            planes = [y, ds(cbp), ds(crp)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qmap = [qy, qc, qc]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comp_blocks = []
+    for plane, (sh, sv), qt in zip(planes, samp, qmap):
+        bw, bh = 8 * mcux * sh, 8 * mcuy * sv
+        comp_blocks.append(
+            _encode_component_blocks(_pad_plane(plane, bh, bw), qt))
+
+    dc_tabs = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    ac_tabs = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+    bw_ = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw_.raw_marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            mcu_n += 1
+            for ci, (sh, sv) in enumerate(samp):
+                dct, act = dc_tabs[min(ci, 1)], ac_tabs[min(ci, 1)]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                        diff = int(blk[0]) - preds[ci]
+                        preds[ci] = int(blk[0])
+                        s, extra = _magnitude(diff)
+                        code, ln = dct[s]
+                        bw_.put(code, ln)
+                        if s:
+                            bw_.put(extra, s)
+                        run = 0
+                        nz = np.nonzero(blk[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = act[0xF0]   # ZRL
+                                bw_.put(code, ln)
+                                run -= 16
+                            s, extra = _magnitude(v)
+                            code, ln = act[(run << 4) | s]
+                            bw_.put(code, ln)
+                            bw_.put(extra, s)
+                            run = 0
+                        if last < 63:
+                            code, ln = act[0x00]       # EOB
+                            bw_.put(code, ln)
+    entropy = bw_.flush()
+
+    jfif = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof_comps = b"".join(
+        bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+        for ci, (sh, sv) in enumerate(samp))
+    sof = _seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([len(planes)]) + sof_comps)
+    sos_comps = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        for ci in range(len(planes)))
+    sos = _seg(0xDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
+    dri = (_seg(0xDD, restart_interval.to_bytes(2, "big"))
+           if restart_interval else b"")
+    dqts = _dqt_seg(0, qy) + (b"" if gray else _dqt_seg(1, qc))
+    dhts = _dht_seg(0, 0, DC_LUMA) + _dht_seg(1, 0, AC_LUMA)
+    if not gray:
+        dhts += _dht_seg(0, 1, DC_CHROMA) + _dht_seg(1, 1, AC_CHROMA)
+    return (b"\xff\xd8" + jfif + dqts + sof + dhts + dri + sos
+            + entropy + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Amplitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _unstuff_segments(data: bytes) -> list[bytes]:
+    """Entropy bytes -> list of restart segments with 0xFF00 unstuffed;
+    RSTn markers split segments (DC predictors reset per segment)."""
+    segs: list[bytearray] = [bytearray()]
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                segs[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytearray())
+                i += 2
+                continue
+            break  # next real marker: end of scan
+        segs[-1].append(b)
+        i += 1
+    return [bytes(s) for s in segs]
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline/extended-sequential JPEG -> (H, W, 3) uint8 RGB (grayscale
+    replicated across channels).  Rejects progressive (SOF2), arithmetic
+    coding, 12-bit precision and >2x sampling factors with ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart = 0
+    pos = 2
+    entropy = None
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker sync at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        size = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        body = payload[pos + 4:pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:                       # DQT (possibly several)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tid] = np.frombuffer(
+                    body, np.uint8, 64, i + 1).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:                     # DHT (possibly several)
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("truncated JPEG DHT segment")
+                htabs[(tclass, tid)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):             # SOF0/SOF1
+            if body[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {body[0]}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            for ci in range(body[5]):
+                cid, sfac, tq = body[6 + 3 * ci:9 + 3 * ci]
+                sh, sv = sfac >> 4, sfac & 0xF
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(f"unsupported sampling {sh}x{sv}")
+                comps.append({"id": cid, "sh": sh, "sv": sv, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode SOF{marker - 0xC0} "
+                "(baseline/extended sequential only)")
+        elif marker == 0xDD:                     # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:                     # SOS
+            ns = body[0]
+            for ci in range(ns):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                comp = next(c for c in comps if c["id"] == cid)
+                comp["td"], comp["ta"] = tabs >> 4, tabs & 0xF
+                scan_comps.append(comp)
+            entropy = payload[pos:]
+            break
+        # APPn/COM/etc: skipped
+    if entropy is None or h is None or not scan_comps:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan_comps) not in (1, 3):
+        raise ValueError(f"unsupported component count {len(scan_comps)}")
+
+    hmax = max(c["sh"] for c in scan_comps)
+    vmax = max(c["sv"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in scan_comps:
+        c["coef"] = np.zeros(
+            (mcuy * c["sv"], mcux * c["sh"], 64), dtype=np.int32)
+
+    segments = _unstuff_segments(entropy)
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(scan_comps)
+    since_restart = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and since_restart == restart:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                reader = _BitReader(segments[seg_i])
+                preds = [0] * len(scan_comps)
+                since_restart = 0
+            for ci, c in enumerate(scan_comps):
+                dct = htabs[(0, c.get("td", 0))]
+                act = htabs[(1, c.get("ta", 0))]
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        blk = c["coef"][my * c["sv"] + by, mx * c["sh"] + bx]
+                        s = reader.huff(dct)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = reader.huff(act)
+                            if sym == 0x00:      # EOB
+                                break
+                            if sym == 0xF0:      # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0xF
+                            if size == 0 or k > 63:
+                                raise ValueError("bad JPEG AC symbol")
+                            blk[k] = _extend(reader.bits(size), size)
+                            k += 1
+            since_restart += 1
+
+    planes = []
+    for c in scan_comps:
+        q = qtabs[c["tq"]]
+        nby, nbx, _ = c["coef"].shape
+        deq = (c["coef"].astype(np.float64)
+               * q[np.newaxis, np.newaxis, :])[..., UNZIGZAG]
+        blocks = deq.reshape(nby, nbx, 8, 8)
+        spatial = np.einsum("ji,abjk,kl->abil", _C, blocks, _C)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # upsample to full resolution, crop to (h, w)
+        plane = np.repeat(np.repeat(plane, vmax // c["sv"], 0),
+                          hmax // c["sh"], 1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
+        axis=-1)

@@ -5,19 +5,21 @@ a 100 TB training-data pipeline stores them next to text.  The Spark-side
 plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures, partitioning
 by modality — is real and tested.
 
-Codecs: decode is REAL for six formats the stdlib can parse — 24-bit BMP,
-binary PPM (P6), PNG (RGB8: zlib inflate + per-scanline unfilter,
-round 5), GIF (variable-width LZW, palette-exact, round 5), PCM16 WAV,
-and uncompressed RGB24 AVI — so ``decode_real``
-produces actual pixel/sample arrays and ``extract_features(...,
-decode="real")`` computes dimensions + channel statistics + histograms
-from ACTUAL data (encode→decode roundtrips are exact and unit-tested).
-Only codecs that genuinely need non-stdlib libraries remain a documented
-NotImplementedError boundary (JPEG/MP3/H.264 — PIL/torchaudio/ffmpeg are
-not installable in this sandbox; decode_real names the wire-in point).
-``decode_stub`` (byte-histogram fake) remains the oracle-checked default
-path for the q30 driver query, and real-mode fallbacks to it are recorded
-in the ``decoded`` output column.
+Codecs: decode is REAL for seven formats — 24-bit BMP, binary PPM (P6),
+PNG (RGB8: zlib inflate + per-scanline unfilter, round 5), GIF
+(variable-width LZW, palette-exact, round 5), baseline JPEG (full DCT +
+Annex-K Huffman entropy codec in operators/jpeg.py, round 5), PCM16 WAV,
+and uncompressed RGB24 AVI — so ``decode_real`` produces actual
+pixel/sample arrays and ``extract_features(..., decode="real")`` computes
+dimensions + channel statistics + histograms from ACTUAL data
+(encode→decode roundtrips are exact for the lossless formats and for
+block-constant quality-100 JPEG; unit-tested throughout).  Only codecs
+that genuinely need non-stdlib libraries remain a documented
+NotImplementedError boundary (progressive JPEG / MP3 / H.264 —
+PIL/torchaudio/ffmpeg are not installable in this sandbox; decode_real
+names the wire-in point).  ``decode_stub`` (byte-histogram fake) remains
+the oracle-checked default path for the q30 driver query, and real-mode
+fallbacks to it are recorded in the ``decoded`` output column.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA = T.StructType(
     [
@@ -626,14 +630,15 @@ _IMAGE_DECODERS = {
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
     "image/gif": decode_gif,
+    "image/jpeg": decode_jpeg,
 }
 
 
 def decode_real(payload: bytes, mime: str):
-    """Real decode: (H, W, 3) uint8 pixels for BMP/PPM/PNG/GIF,
-    (samples, rate) for PCM WAV, (N, H, W, 3) frames for RGB24 AVI;
-    everything else (JPEG, compressed audio, H.264) raises with the
-    integration point documented (PIL/torchaudio/ffmpeg are not
+    """Real decode: (H, W, 3) uint8 pixels for BMP/PPM/PNG/GIF/baseline
+    JPEG, (samples, rate) for PCM WAV, (N, H, W, 3) frames for RGB24 AVI;
+    everything else (progressive JPEG, compressed audio, H.264) raises
+    with the integration point documented (PIL/torchaudio/ffmpeg are not
     installable in this sandbox)."""
     dec = _IMAGE_DECODERS.get(mime)
     if dec is not None:
@@ -818,6 +823,37 @@ def synth_media_gif(spark, n: int = 40) -> DataFrame:
         rows.append(
             (i, "image", encode_gif(px), ("image/gif", w, h, None))
         )
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def synth_tiles(i: int) -> np.ndarray:
+    """Deterministic 8x8-block-constant GRAYSCALE test image for media_id
+    i: a (1 + i%2) x (2 + i%3) tile grid, tile (tx, ty) filled with
+    (tx*31 + ty*53 + i*7) % 256.  Block-constant images survive quality-100
+    JPEG EXACTLY (DC-only blocks, all-ones quant tables), so the q87
+    oracle can replay this formula in SQL."""
+    th, tw = 1 + i % 2, 2 + i % 3
+    out = np.empty((8 * th, 8 * tw), dtype=np.uint8)
+    for ty in range(th):
+        for tx in range(tw):
+            out[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                tx * 31 + ty * 53 + i * 7) % 256
+    return out
+
+
+def synth_media_jpeg(spark, n: int = 40) -> DataFrame:
+    """Deterministic all-JPEG media table: synth_tiles(i) encoded as
+    quality-100 grayscale baseline JPEG with restart interval i % 4
+    (0 = no DRI), so a scan exercises the Huffman DC chain, byte
+    unstuffing, and the RSTn resync path.  Decode is pixel-EXACT (see
+    synth_tiles); the q87 oracle recomputes features from the tile
+    formula, never entropy-decoding anything."""
+    rows = []
+    for i in range(n):
+        px = synth_tiles(i)
+        h, w = px.shape
+        payload = encode_jpeg(px, quality=100, restart_interval=i % 4)
+        rows.append((i, "image", payload, ("image/jpeg", w, h, None)))
     return spark.createDataFrame(rows, MEDIA)
 
 

@@ -4128,6 +4128,81 @@ def q86(spark, sf):
     )
 
 
+@q(
+    "q87_jpeg_decode_features",
+    """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CAST(2 + i % 3 AS BIGINT) AS tw,
+             CAST(1 + i % 2 AS BIGINT) AS th
+      FROM range(0, 40) t(i)),
+    tiles AS (
+      SELECT media_id, tw, th,
+             (tx * 31 + ty * 53 + media_id * 7) % 256 AS v
+      FROM m, unnest(range(0, th)) a(ty), unnest(range(0, tw)) b(tx)),
+    sums AS (
+      SELECT media_id, CAST(8 * tw AS INT) AS w, CAST(8 * th AS INT) AS h,
+             CAST(64 * sum(v) AS BIGINT) AS sum_r,
+             CAST(64 * sum(v) AS BIGINT) AS sum_g,
+             CAST(64 * sum(v) AS BIGINT) AS sum_b
+      FROM tiles GROUP BY media_id, tw, th),
+    bins AS (
+      SELECT media_id, (1000 * v) * 11 // 255001 AS bin,
+             64 * count(*) AS cnt
+      FROM tiles GROUP BY media_id, bin),
+    grid AS (
+      SELECT m.media_id, CAST(kk AS BIGINT) AS bin
+      FROM m, unnest(range(0, 11)) t2(kk)),
+    hist AS (
+      SELECT grid.media_id,
+             array_to_string(
+               list(CAST(coalesce(bins.cnt, 0) AS INT) ORDER BY grid.bin),
+               ',') AS hist11
+      FROM grid LEFT JOIN bins
+        ON grid.media_id = bins.media_id AND grid.bin = bins.bin
+      GROUP BY grid.media_id)
+    SELECT s.media_id, s.w, s.h, s.sum_r, s.sum_g, s.sum_b, hist.hist11,
+           TRUE AS decoded
+    FROM sums s JOIN hist ON s.media_id = hist.media_id
+    """,
+)
+def q87(spark, sf):
+    """Multimodal REAL baseline-JPEG decode (operators/jpeg.decode_jpeg):
+    marker walk, Annex-K canonical Huffman entropy decode with byte
+    unstuffing and RSTn restart resync (interval media_id % 4), dequantize
+    + batched IDCT — all inside the Arrow-batched mapInPandas UDF.  The
+    fixture is quality-100 grayscale block-constant tiles, which baseline
+    JPEG stores LOSSLESSLY (DC-only blocks, all-ones quant tables), so
+    features are pixel-exact and the oracle replays the tile formula in
+    SQL without touching a JPEG byte.  ``decoded`` must be TRUE on every
+    row — a fallback to the stub fails the oracle."""
+    from .operators.multimodal import extract_features, synth_media_jpeg
+
+    media = synth_media_jpeg(spark, n=40)
+    feats = extract_features(media, decode="real")
+    f = F.col("feature")
+    w = F.round(f[0]).cast("int")
+    h = F.round(f[1]).cast("int")
+    npx = (w * h).cast("long")
+    hist11 = F.array_join(
+        F.transform(
+            F.slice(f, 6, 11),
+            lambda x: F.round(x * npx).cast("int").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.round(f[2] * npx).cast("long").alias("sum_r"),
+        F.round(f[3] * npx).cast("long").alias("sum_g"),
+        F.round(f[4] * npx).cast("long").alias("sum_b"),
+        hist11.alias("hist11"),
+        "decoded",
+    )
+
+
 @q("q85_crawl_refresh_rounds")
 def q85(spark, sf):
     """Rows-only: four BSP rounds with BOTH round-5 scheduler features live
@@ -4193,6 +4268,7 @@ _WINDOW_HEAD = [
     # round 5: new queries + queries whose engine code changed this round
     "q83_png_decode_features",     # new: PNG codec
     "q86_gif_decode_features",     # new: GIF codec (LZW)
+    "q87_jpeg_decode_features",    # new: baseline JPEG codec (DCT+Huffman)
     "q84_trap_capped_schedule",    # new: trap guard wiring
     "q85_crawl_refresh_rounds",    # new: refresh-mode crawl (rows-only)
     "q57_image_decode_features",   # synth_media_real now rotates PNG in

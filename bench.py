@@ -76,6 +76,7 @@ HEADLINE = [
     "q83_png_decode_features",
     "q84_trap_capped_schedule",
     "q86_gif_decode_features",
+    "q87_jpeg_decode_features",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))

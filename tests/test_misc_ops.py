@@ -567,6 +567,71 @@ def test_avi_codec_roundtrip_pure():
     assert np.allclose(hist, expect, atol=1e-6)
 
 
+def test_jpeg_codec_pure():
+    """Baseline JPEG (operators/jpeg.py): block-constant grayscale at
+    quality 100 roundtrips EXACTLY (incl. through RSTn restarts); color
+    4:4:4 and 4:2:0 roundtrip within JPEG's lossy bounds on smooth
+    content; progressive/arithmetic/bad-AC streams rejected."""
+    import numpy as np
+    import pytest
+
+    from adavnceseo_crawler_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        decode_real,
+        synth_pixels,
+        synth_tiles,
+    )
+
+    # exact path: q100 block-constant gray, with and without restarts
+    for i in range(8):
+        px = synth_tiles(i)
+        for ri in (0, 2):
+            out = decode_jpeg(encode_jpeg(px, quality=100,
+                                          restart_interval=ri))
+            assert out.shape == (*px.shape, 3)
+            assert np.array_equal(out[:, :, 0], px), (i, ri)
+            assert np.array_equal(out[:, :, 1], out[:, :, 2])
+    # arbitrary gray at q100: DCT-coefficient rounding only (<= 1 LSB)
+    g = synth_pixels(5, 24, 16)[:, :, 1]
+    out = decode_jpeg(encode_jpeg(g, quality=100))
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    # color, odd (non-multiple-of-8) dims, smooth gradient: high PSNR
+    grad = np.stack(
+        [
+            np.linspace(0, 255, 37)[None, :].repeat(21, 0),
+            np.linspace(0, 255, 21)[:, None].repeat(37, 1),
+            np.full((21, 37), 100.0),
+        ],
+        axis=-1,
+    ).round().astype(np.uint8)
+    for q, sub in ((75, False), (90, True)):
+        out = decode_jpeg(encode_jpeg(grad, quality=q, subsample=sub))
+        assert out.shape == grad.shape
+        mse = ((out.astype(float) - grad.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / mse) > 30, (q, sub)
+    # decode_real dispatch
+    out = decode_real(encode_jpeg(grad, quality=100), "image/jpeg")
+    assert out.shape == grad.shape
+    # restart markers don't change the decoded image
+    noisy = synth_pixels(9, 40, 24)
+    a = decode_jpeg(encode_jpeg(noisy, quality=100))
+    b = decode_jpeg(encode_jpeg(noisy, quality=100, restart_interval=3))
+    assert np.array_equal(a, b)
+    # explicit rejection, never mis-decode
+    prog = bytearray(encode_jpeg(grad, quality=75))
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG1234")
+    trunc = encode_jpeg(grad, quality=75)
+    with pytest.raises(ValueError):
+        decode_jpeg(trunc[: len(trunc) // 2])
+
+
 def test_streaming_dedup_across_drains(spark, tmp_path):
     """Streaming exact dedup: first arrival of a text hash is emitted,
     duplicates are suppressed WITHIN a drain and ACROSS resumed drains
