@@ -77,7 +77,11 @@ gated = stage("gate", langed.join(
 dd = stage("exact_dedup", exact_dedup(gated))
 
 # S3 near-dup: LSH pairs -> connected components -> keep canonical
-pairs = minhash_verified_pairs(dd, threshold=0.8)
+# max_bucket: the shared boilerplate passage (synth.corpus_doc i%%11) puts
+# ~5.7%% of docs into ONE bucket per band -> 1.6e9 all-fail candidate pairs
+# at 1M docs without the star-pair cap (measured: a single reducer wrote
+# shuffle for 30+ min).  64 >> any true near-dup cluster here (pairs).
+pairs = minhash_verified_pairs(dd, threshold=0.8, max_bucket=64)
 comp = neardup_components(pairs)
 nd = stage("neardup", dedup_keep_canonical(dd, comp))
 

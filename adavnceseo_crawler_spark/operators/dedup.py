@@ -443,6 +443,7 @@ def minhash_verified_pairs(
     bands: int = 32,
     stopwords: tuple[str, ...] = (),
     min_len: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with EXACT token-set Jaccard ≥ threshold.
 
@@ -451,7 +452,21 @@ def minhash_verified_pairs(
     brute-force truth (the driver oracle checks exactly that).  The exact
     verification joins each candidate pair to the two docs' token arrays and
     computes |A∩B| JVM-side (array_intersect) — cost linear in candidates,
-    never O(n²)."""
+    never O(n²) ... in the number of DOCS.  It is still quadratic in the
+    size of a single band bucket, and real web corpora produce degenerate
+    buckets: a boilerplate passage shared by k docs puts all k in ONE
+    bucket whenever both of a band's minhashes land on passage tokens
+    (measured on the scaling corpus: k ≈ 5.7% of docs ⇒ 57k-doc buckets at
+    1M docs ⇒ 1.6e9 candidate pairs from one bucket, none of which survive
+    verification).  ``max_bucket`` is the scale rail: buckets larger than
+    it emit only STAR pairs (every member vs the bucket's min-id
+    representative, linear in k) instead of all k²/2 pairs.  A true
+    J≥threshold pair still meets in a small bucket keyed by its own tokens
+    with prob ≈ J² per band (32 tries), so capped output equals uncapped
+    unless a single near-dup CLUSTER outgrows max_bucket — and such a
+    cluster stays fully connected through its representative, which is
+    what the downstream connected-components consumer needs.  Default None
+    preserves exact all-pairs semantics (the q26 oracle path)."""
     sig = df.select(
         F.col(id_col).alias("id"),
         make_token_minhash_udf(n_hashes, 42, min_len, stopwords)(
@@ -459,14 +474,33 @@ def minhash_verified_pairs(
         ).alias("sig"),
     )
     banded = _band_buckets(sig, n_hashes, bands)
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    if max_bucket is not None:
+        # census rides the same (band, bucket) shuffle as the join below
+        census = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bn"), F.min("id").alias("rep")
+        )
+        banded = banded.join(census, ["band", "bucket"])
+        small = banded.filter(F.col("bn") <= max_bucket)
+        star = (
+            banded.filter(
+                (F.col("bn") > max_bucket) & (F.col("id") != F.col("rep"))
+            )
+            .select(
+                F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+            )  # rep = min(id) ⇒ id_a < id_b already
+        )
+    else:
+        small, star = banded, None
+    a = small.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = small.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     # exact verification on the same normalized token sets
     def keep(w):
         cond = F.length(w) >= min_len

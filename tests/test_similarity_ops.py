@@ -97,6 +97,47 @@ def test_minhash_verified_equals_bruteforce(spark):
 
 
 # ---------------------------------------------------------------------------
+# max_bucket rail: degenerate boilerplate buckets emit star pairs, not k^2
+# ---------------------------------------------------------------------------
+def test_minhash_max_bucket_star_pairs(spark):
+    """A passage shared by many docs floods one LSH bucket per band; with
+    ``max_bucket`` the verified OUTPUT is unchanged (true near-dup pairs
+    still meet in small buckets keyed by their own tokens; boilerplate-only
+    candidates failed verification anyway), and an oversized TRUE cluster
+    stays connected through its star representative."""
+    from adavnceseo_crawler_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+    from adavnceseo_crawler_spark.synth import corpus_doc
+
+    rows = [(i, corpus_doc(i)[0]) for i in range(1500)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.8, min_len=3)
+    uncapped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_verified_pairs(d, **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_verified_pairs(d, max_bucket=20, **kw).collect()
+    }
+    assert len(uncapped) > 0
+    assert capped == uncapped
+    # oversized TRUE near-dup cluster: 60 copies of one text with one word
+    # tweaked each — every bucket they share exceeds max_bucket, so the
+    # star keeps them connected to the min-id representative
+    base = corpus_doc(3)[0].split()
+    clone_rows = []
+    for i in range(60):
+        ws = list(base) + [f"zzz{i:03d}"]
+        clone_rows.append((10_000 + i, " ".join(ws)))
+    clones = spark.createDataFrame(clone_rows, ["doc_id", "text"])
+    got = minhash_verified_pairs(clones, max_bucket=10, **kw).collect()
+    ids_linked = {r["id_b"] for r in got if r["id_a"] == 10_000}
+    assert ids_linked == {10_000 + i for i in range(1, 60)}
+
+
+# ---------------------------------------------------------------------------
 # LSH ANN: recall vs brute force, measured
 # ---------------------------------------------------------------------------
 def _brute_topk(spark, index, queries, k):
