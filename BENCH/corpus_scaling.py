@@ -81,9 +81,15 @@ dd = stage("exact_dedup", exact_dedup(gated))
 # ~5.7%% of docs into ONE bucket per band -> 1.6e9 all-fail candidate pairs
 # at 1M docs without the star-pair cap (measured: a single reducer wrote
 # shuffle for 30+ min).  64 >> any true near-dup cluster here (pairs).
+# neardup_components runs its label-propagation jobs EAGERLY (per-iteration
+# convergence counts), so the whole chain sits inside the stage timer —
+# stage() on the final frame alone would misattribute those jobs.
+t0 = time.monotonic()
 pairs = minhash_verified_pairs(dd, threshold=0.8, max_bucket=64)
 comp = neardup_components(pairs)
-nd = stage("neardup", dedup_keep_canonical(dd, comp))
+nd = dedup_keep_canonical(dd, comp).persist()
+counts["neardup"] = nd.count()
+walls["neardup"] = round(time.monotonic() - t0, 2)
 
 # S4 benchmark decontamination (eval slice = raw doc_id %% 97 == 0,
 # removed from the kept set before the gram join, as in q72)

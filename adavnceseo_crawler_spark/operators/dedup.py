@@ -184,6 +184,39 @@ def _band_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
+def _bucket_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(id, band, bucket) -> distinct candidate pairs (id_a < id_b).
+
+    With ``max_bucket``, oversized buckets emit only member-vs-min-id STAR
+    pairs (linear in bucket size) instead of all-pairs — the rail against
+    degenerate boilerplate buckets; see minhash_verified_pairs for the
+    measured failure this prevents.  The census aggregation rides the same
+    (band, bucket) shuffle as the self-join."""
+    if max_bucket is not None:
+        census = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bn"), F.min("id").alias("rep")
+        )
+        banded = banded.join(census, ["band", "bucket"])
+        small = banded.filter(F.col("bn") <= max_bucket)
+        star = banded.filter(
+            (F.col("bn") > max_bucket) & (F.col("id") != F.col("rep"))
+        ).select(
+            F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+        )  # rep = min(id) ⇒ id_a < id_b already
+    else:
+        small, star = banded, None
+    a = small.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = small.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
+    return cand.distinct()
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -191,22 +224,16 @@ def minhash_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash → band → bucket-join candidate pairs (id_a < id_b).
 
     rows_per_band = n_hashes/bands; docs sharing any full band land in the
     same bucket.  The bucket join is an equi-join on (band, band_hash) — no
-    cross product, shuffles on the bucket key only."""
+    cross product, shuffles on the bucket key only.  ``max_bucket`` applies
+    the star-pair rail to degenerate buckets (see _bucket_pairs)."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    banded = _band_buckets(sig, n_hashes, bands)
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _bucket_pairs(_band_buckets(sig, n_hashes, bands), max_bucket)
 
 
 def minhash_dedup_pairs(
@@ -221,15 +248,7 @@ def minhash_dedup_pairs(
     """LSH candidates verified by signature-estimated Jaccard ≥ threshold.
     Signatures are computed ONCE and reused for banding and verification."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
-    banded = _band_buckets(sig, n_hashes, bands)
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _bucket_pairs(_band_buckets(sig, n_hashes, bands), None)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -473,34 +492,7 @@ def minhash_verified_pairs(
             F.col(text_col)
         ).alias("sig"),
     )
-    banded = _band_buckets(sig, n_hashes, bands)
-    if max_bucket is not None:
-        # census rides the same (band, bucket) shuffle as the join below
-        census = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("bn"), F.min("id").alias("rep")
-        )
-        banded = banded.join(census, ["band", "bucket"])
-        small = banded.filter(F.col("bn") <= max_bucket)
-        star = (
-            banded.filter(
-                (F.col("bn") > max_bucket) & (F.col("id") != F.col("rep"))
-            )
-            .select(
-                F.col("rep").alias("id_a"), F.col("id").alias("id_b")
-            )  # rep = min(id) ⇒ id_a < id_b already
-        )
-    else:
-        small, star = banded, None
-    a = small.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = small.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if star is not None:
-        cand = cand.unionByName(star)
-    cand = cand.distinct()
+    cand = _bucket_pairs(_band_buckets(sig, n_hashes, bands), max_bucket)
     # exact verification on the same normalized token sets
     def keep(w):
         cond = F.length(w) >= min_len
