@@ -482,10 +482,17 @@ def minhash_verified_pairs(
     representative, linear in k) instead of all k²/2 pairs.  A true
     J≥threshold pair still meets in a small bucket keyed by its own tokens
     with prob ≈ J² per band (32 tries), so capped output equals uncapped
-    unless a single near-dup CLUSTER outgrows max_bucket — and such a
-    cluster stays fully connected through its representative, which is
-    what the downstream connected-components consumer needs.  Default None
-    preserves exact all-pairs semantics (the q26 oracle path)."""
+    on corpora whose near-dup clusters are smaller than max_bucket (the
+    scaling corpus: verified on its synth slice).  When a cluster DOES
+    outgrow max_bucket, capped edges are a SUBSET of uncapped edges, so
+    downstream components only ever REFINE (split, never merge): members
+    within threshold of the bucket representative stay connected through
+    it, but a CHAIN-shaped cluster (a~b, b~c, J(a,c) < threshold) linked
+    only inside oversized buckets can split — measured on the driver
+    documents table, which packs ~100-doc near-cliques.  For dedup that
+    direction is conservative (under-deletes, never merges unrelated
+    docs).  Default None preserves exact all-pairs semantics (the q26
+    oracle path)."""
     sig = df.select(
         F.col(id_col).alias("id"),
         make_token_minhash_udf(n_hashes, 42, min_len, stopwords)(

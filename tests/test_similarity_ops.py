@@ -137,6 +137,51 @@ def test_minhash_max_bucket_star_pairs(spark):
     assert ids_linked == {10_000 + i for i in range(1, 60)}
 
 
+def test_minhash_max_bucket_components_refine(spark):
+    """Capped edges ⊆ uncapped edges ⇒ downstream components only ever
+    REFINE (split), never merge — the invariant that makes the cap safe
+    for dedup (conservative: under-deletes).  The driver documents table
+    packs ~100-doc near-cliques whose buckets dwarf max_bucket=8, so this
+    exercises the oversized-true-cluster path, including the chain-split
+    case the docstring documents."""
+    from adavnceseo_crawler_spark.operators.dedup import (
+        minhash_verified_pairs,
+        neardup_components,
+    )
+    from adavnceseo_crawler_spark.queries import STOPWORDS
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(threshold=0.9, stopwords=tuple(STOPWORDS), min_len=3)
+    up = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(d, **kw).collect()
+    }
+    cp = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(d, max_bucket=8, **kw).collect()
+    }
+    assert cp <= up and len(cp) < len(up)  # cap engaged, subset holds
+    ucomp = {
+        r["id"]: r["comp"]
+        for r in neardup_components(
+            spark.createDataFrame(sorted(up), ["id_a", "id_b"])
+        ).collect()
+    }
+    ccomp = {
+        r["id"]: r["comp"]
+        for r in neardup_components(
+            spark.createDataFrame(sorted(cp), ["id_a", "id_b"])
+        ).collect()
+    }
+    # refinement: two ids in the same capped component are in the same
+    # uncapped component (splits allowed, merges impossible)
+    by_capped: dict = {}
+    for i, c in ccomp.items():
+        by_capped.setdefault(c, []).append(i)
+    for members in by_capped.values():
+        assert len({ucomp[i] for i in members}) == 1
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN: recall vs brute force, measured
 # ---------------------------------------------------------------------------
