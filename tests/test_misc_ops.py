@@ -353,14 +353,16 @@ def test_image_codec_roundtrip_pure():
     import pytest
 
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff...", "image/jpeg")  # JPEG: no codec
-    with pytest.raises(NotImplementedError):
         decode_real(b"\xff\xfb...", "audio/mpeg")  # compressed audio: no codec
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00...ftyp", "video/mp4")  # H.264: no codec
     # supported mime + malformed payload is a decode error, not a stub path
     with pytest.raises(ValueError):
         decode_real(b"RIFF....", "audio/wav")
     with pytest.raises(ValueError):
         decode_real(b"\x89PNG...", "image/png")  # real codec since round 5
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff...", "image/jpeg")  # real codec since r5
 
 
 def test_image_features_from_real_pixels():
