@@ -493,12 +493,15 @@ def minhash_verified_pairs(
     direction is conservative (under-deletes, never merges unrelated
     docs).  Default None preserves exact all-pairs semantics (the q26
     oracle path)."""
+    # cache: the banded table feeds up to three consumers (bucket census,
+    # both self-join sides) — without it the Arrow minhash UDF recomputes
+    # per branch (measured: 3 scans + 3 UDF passes in the physical plan)
     sig = df.select(
         F.col(id_col).alias("id"),
         make_token_minhash_udf(n_hashes, 42, min_len, stopwords)(
             F.col(text_col)
         ).alias("sig"),
-    )
+    ).cache()
     cand = _bucket_pairs(_band_buckets(sig, n_hashes, bands), max_bucket)
     # exact verification on the same normalized token sets
     def keep(w):
