@@ -246,8 +246,11 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
 ) -> DataFrame:
     """LSH candidates verified by signature-estimated Jaccard ≥ threshold.
-    Signatures are computed ONCE and reused for banding and verification."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
+    Signatures are computed ONCE and reused for banding and verification
+    (lazy localCheckpoint: one Arrow UDF pass, blocks self-clean via the
+    ContextCleaner when the query's plan is dropped — no cache leak across
+    repeated runs, ADVICE r5)."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).localCheckpoint(eager=False)
     cand = _bucket_pairs(_band_buckets(sig, n_hashes, bands), None)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -493,15 +496,18 @@ def minhash_verified_pairs(
     direction is conservative (under-deletes, never merges unrelated
     docs).  Default None preserves exact all-pairs semantics (the q26
     oracle path)."""
-    # cache: the banded table feeds up to three consumers (bucket census,
-    # both self-join sides) — without it the Arrow minhash UDF recomputes
-    # per branch (measured: 3 scans + 3 UDF passes in the physical plan)
+    # materialize once: the banded table feeds up to three consumers (bucket
+    # census, both self-join sides) — without the cut the Arrow minhash UDF
+    # recomputes per branch (measured: 3 scans + 3 UDF passes in the
+    # physical plan).  Lazy localCheckpoint, not cache(): blocks are freed
+    # by the ContextCleaner when the query's plan is dropped, so repeated
+    # runs don't accumulate pinned executor memory (ADVICE r5).
     sig = df.select(
         F.col(id_col).alias("id"),
         make_token_minhash_udf(n_hashes, 42, min_len, stopwords)(
             F.col(text_col)
         ).alias("sig"),
-    ).cache()
+    ).localCheckpoint(eager=False)
     cand = _bucket_pairs(_band_buckets(sig, n_hashes, bands), max_bucket)
     # exact verification on the same normalized token sets
     def keep(w):
@@ -515,7 +521,7 @@ def minhash_verified_pairs(
         F.array_distinct(
             F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), keep)
         ).alias("toks"),
-    )
+    ).localCheckpoint(eager=False)  # tokenize once, reuse for both join sides
     ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
     j = (
@@ -549,13 +555,20 @@ def neardup_components(
     transitive group's single survivor); grouping first keeps exactly one
     representative per duplicate cluster.
 
-    Algorithm: distributed min-label propagation.  Each iteration is one
-    shuffle join (edges ⋈ labels on src) + one groupBy-min — fully
-    distributed, no driver-side graph state.  Labels only ever decrease, so
-    ``sum(comp)`` strictly decreases while any label changes; convergence is
-    detected from that single scalar (no extra per-iteration comparison
-    join).  ``localCheckpoint`` truncates the lineage each round, keeping
-    plan size constant over iterations.
+    Algorithm: distributed min-label propagation over the SELF-LOOPED
+    symmetric edge set.  Adding (v, v) edges folds a node's own label into
+    the neighbor minimum, so one iteration is ONE shuffle join (edges ⋈
+    labels on src) + ONE groupBy(dst)-min — the round-5 shape needed a
+    third exchange (a second labels join to mix the old label back in).
+    The initial labels are the FUSED first iteration: with self-loops,
+    comp_1(v) = min(u : u ∈ N(v) ∪ {v}) = min(src) grouped by dst — a
+    single aggregation instead of an identity-label materialization plus a
+    join round (two fewer jobs end-to-end; at small corpus sizes per-job
+    fixed cost dominates this operator's wall).  Labels only ever
+    decrease, so ``sum(comp)`` strictly decreases while any label changes;
+    convergence is detected from that single scalar (no extra
+    per-iteration comparison join).  ``localCheckpoint`` truncates the
+    lineage each round, keeping plan size constant over iterations.
 
     Iterations = graph diameter.  Near-dup graphs are band-induced
     near-cliques (diameter ~2-3 in practice, 5835 pairs / ~500 docs on the
@@ -564,41 +577,31 @@ def neardup_components(
     MapReduce and Beyond") here; that O(log n)-round algorithm is the
     documented fallback for adversarial long-path graphs (``max_iter``
     guards the loop either way)."""
-    edges = pairs.select(
+    e0 = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    sym = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # self-loops: every node appears as src of the symmetric set
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        sym.union(sym.select("src", F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # fused iteration 1 (comp = min over N(v) ∪ {v}); LAZY checkpoint — the
+    # convergence-sum action below materializes it in the same job
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("comp"))
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None
-    for _ in range(max_iter):
-        nbr_min = (
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter - 1):
+        labels = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias(
-                    "comp"
-                ),
-            )
-            # LAZY checkpoint: the convergence-sum action below materializes
-            # (and caches) it in the same job — one job per iteration, not
-            # an eager-checkpoint job plus a sum job (halves the fixed
-            # job-launch cost that dominates small-corpus walls)
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("comp")).first()[0]

@@ -692,7 +692,13 @@ def extract_features(
     mixed-modality batches survive — the ``decoded`` output column records
     which rows actually decoded, so a fallback is auditable, never silent.
 
-    At scale: repartition by modality first so each task loads one codec."""
+    Runs over the input's existing partitioning: an earlier revision
+    hash-repartitioned by ``modality`` first ("each task loads one codec"),
+    but a 3-distinct-value partitioning key collapses any corpus into <= 3
+    working partitions — the guide's few-distinct-synthetic-keys skew trap —
+    and the codecs are plain module functions with no per-task load cost, so
+    the exchange bought nothing.  Callers that do want codec locality can
+    pre-partition by (modality, hash bucket) themselves."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -710,7 +716,13 @@ def extract_features(
                             feats.append(image_features(decoded, dim).tolist())
                         flags.append(True)
                         continue
-                    except (NotImplementedError, ValueError):
+                    except Exception:
+                        # ADVICE r5: codecs raise more than (NotImplemented,
+                        # Value)Error on malformed bytes — IndexError on a
+                        # truncated GIF, StopIteration/KeyError on a JPEG
+                        # with an unknown component id / missing DHT,
+                        # zlib.error on a bad IDAT.  One corrupt payload
+                        # must flag decoded=false, not kill the whole task.
                         pass
                 feats.append(decode_stub(p, dim).tolist())
                 flags.append(False)
@@ -725,8 +737,7 @@ def extract_features(
             )
 
     return (
-        media.repartition(F.col("modality"))
-        .select(
+        media.select(
             "media_id", "modality", "payload",
             F.coalesce(F.col("meta.mime"), F.lit("")).alias("mime"),
         )
