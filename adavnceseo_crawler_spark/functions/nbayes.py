@@ -111,7 +111,12 @@ def fit_nb_df(
         F.col(label_col).alias("label"),
         F.explode(doc_tokens(text_col)).alias("token"),
     )
-    cnts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-(label, token) counts feed vocab, V, per-label totals AND the
+    # weight grid join — materialize once (lazy localCheckpoint, freed by
+    # the ContextCleaner) instead of re-tokenizing the corpus per consumer
+    cnts = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
     if min_df > 1:
         keep = (
             cnts.groupBy("token")
@@ -141,7 +146,11 @@ def fit_nb_df(
             ).cast("long").alias("w"),
         )
     )
-    cls = labeled.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    # L rows; shared by the priors projection and the ntot 1-row aggregate
+    # (without the cut each re-runs the labeling scan)
+    cls = labeled.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
     ntot = cls.agg(F.sum("n").cast("double").alias("_n"))
     priors = cls.crossJoin(F.broadcast(ntot)).select(
         F.col(label_col).alias("label"),

@@ -47,15 +47,27 @@ def content_type_col(text: Column) -> Column:
     the first pattern (dict order) whose count strictly exceeds the running
     max, starting from 0 — so all-zero counts yield 'unknown' and ties keep
     the earlier pattern."""
-    counts = [(name, regexp_ci_count(text, pat)) for name, pat in CONTENT_PATTERNS]
-    best_name = F.lit("unknown")
-    best_count = F.lit(0)
-    for name, cnt in counts:
-        is_better = cnt > best_count
-        new_name = F.when(is_better, F.lit(name)).otherwise(best_name)
-        new_count = F.when(is_better, cnt).otherwise(best_count)
-        best_name, best_count = new_name, new_count
-    return best_name
+    # strictly-greater argmax via ONE ordered struct comparison: the previous
+    # fold of nested whens re-embedded every earlier count expression in each
+    # later branch (the k-th pattern's count appeared ~2^(K-k) times in the
+    # final tree), defeating codegen subexpression sharing.  greatest() over
+    # (count, -index, name) structs evaluates each regexp_count ONCE; the
+    # sentinel ranks above any zero-count pattern (ni=1 > -k) and below any
+    # positive count, reproducing strictly-greater/first-wins exactly.
+    cands = [
+        F.struct(
+            F.lit(0).alias("c"), F.lit(1).alias("ni"), F.lit("unknown").alias("n")
+        )
+    ]
+    for i, (name, pat) in enumerate(CONTENT_PATTERNS):
+        cands.append(
+            F.struct(
+                regexp_ci_count(text, pat).alias("c"),
+                F.lit(-i).alias("ni"),
+                F.lit(name).alias("n"),
+            )
+        )
+    return F.greatest(*cands)["n"]
 
 
 def quality_score_col(
@@ -106,15 +118,24 @@ def _marker_count(text_lower: Column, words: tuple[str, ...]) -> Column:
 def lang_id_col(text: Column) -> Column:
     """Stopword-marker language heuristic (argmax of marker hits; 'und' =
     undetermined when nothing matches)."""
+    # same strictly-greater argmax-by-struct shape as content_type_col: each
+    # marker scan is evaluated once instead of being duplicated through a
+    # nested-when fold (5 regexp_extract_all scans per row, not O(2^5))
     lower = F.lower(text)
-    best_lang = F.lit("und")
-    best_count = F.lit(0)
-    for lang, words in LANG_MARKERS.items():
-        cnt = _marker_count(lower, words)
-        is_better = cnt > best_count
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_count = F.when(is_better, cnt).otherwise(best_count)
-    return best_lang
+    cands = [
+        F.struct(
+            F.lit(0).alias("c"), F.lit(1).alias("ni"), F.lit("und").alias("n")
+        )
+    ]
+    for i, (lang, words) in enumerate(LANG_MARKERS.items()):
+        cands.append(
+            F.struct(
+                _marker_count(lower, words).alias("c"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("n"),
+            )
+        )
+    return F.greatest(*cands)["n"]
 
 
 def text_quality_cols(text: Column) -> dict[str, Column]:

@@ -51,11 +51,15 @@ def host_pagerank(
     )
     deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     if persist:
-        # lazy: populated by the first stage that touches them inside the
-        # caller's action, then shared by all iterations of the same job
-        e = e.persist()
-        nodes = nodes.persist()
-        deg = deg.persist()
+        # lazy localCheckpoint: populated by the first stage that touches
+        # them inside the caller's action, then shared by all iterations of
+        # the same job.  (Was .persist(): CacheManager entries are never
+        # dropped without an explicit unpersist the lazy single-job design
+        # has no hook for, so repeated runs accumulated pinned frames;
+        # checkpoint blocks are freed by the ContextCleaner instead.)
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+        deg = deg.localCheckpoint(eager=False)
     n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
     d = float(damping)
 

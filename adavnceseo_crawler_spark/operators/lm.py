@@ -59,7 +59,11 @@ def bigram_lm_fit(
     context counts ``(ctx, c1)``, and the 1-row vocabulary size ``(v)``
     (distinct train words + 1 UNK).  All stay distributed.
     """
-    bg = _bigrams(train, text_col, id_col)
+    # the bigram stream feeds both count tables, and each count table is
+    # typically consumed as a separate broadcast build downstream — cut once
+    # (lazy localCheckpoint, self-cleaning) so train is tokenized a single
+    # time instead of once per build
+    bg = _bigrams(train, text_col, id_col).localCheckpoint(eager=False)
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
     v = (

@@ -66,14 +66,30 @@ def schedule_batch(
     batch_size: int,
     salt_buckets: int = 8,
     mode: str = "priority",
+    trap_threshold: int | None = None,
+    trap_cap: int = 5,
 ) -> DataFrame:
-    """Politeness top-k then a global cut.
+    """Politeness top-k then a global cut — the fully LAZY scheduler (no
+    counts, no caches; one job at the caller's action).  Same row set as
+    schedule_batch_counted's ``scheduled`` (when the batch cap cannot bind,
+    the global TakeOrdered is a no-op on the row set; only the row order
+    differs, and no consumer of this entry point is order-sensitive).
 
     mode='priority' (default): score desc, url asc — the intended dequeue
     (url_frontier.py:82-88).  mode='fifo': seq asc, url asc — the live-path
-    LPOP special case (url_frontier.py:240-252, SURVEY.md S3)."""
+    LPOP special case (url_frontier.py:240-252, SURVEY.md S3).
+
+    ``trap_threshold`` applies the crawler-trap template cap before the
+    politeness top-k (see trap_template_cap); its cell-census rollup feeds
+    the host counts so the corpus aggregates once."""
     order = _order_for(mode)
-    per_host = per_host_topk_by(df, budget, salt_buckets, order)
+    counts = None
+    if trap_threshold is not None:
+        df, _, counts, _ = trap_template_cap(
+            df, trap_threshold, trap_cap, order, salt_buckets,
+            want_dropped=False,
+        )
+    per_host = per_host_topk_by(df, budget, salt_buckets, order, counts=counts)
     return per_host.orderBy(*order).limit(batch_size)
 
 
@@ -83,6 +99,7 @@ def trap_template_cap(
     cap: int,
     order: list,
     salt_buckets: int = 8,
+    want_dropped: bool = True,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame, list[DataFrame]]:
     """Crawler-trap guard (urlmine.mine_url_templates wired into the
     scheduler): cells of more than ``threshold`` URLs sharing one
@@ -108,7 +125,14 @@ def trap_template_cap(
     Returns (kept, dropped, host_counts, caches): ``dropped`` rows stay in
     the frontier (re-considered next round — the politeness-deferral
     semantics), ``host_counts`` is the (host, _n) rollup for
-    schedule_batch_counted to reuse."""
+    schedule_batch_counted to reuse.
+
+    ``want_dropped=False`` (callers that never consume the complement —
+    the lazy schedule_batch, and MoR rounds where un-dequeued rows simply
+    stay in the frontier base): skips the drop branches AND the ranked-
+    intermediate caches entirely — each window ranking then has a single
+    consumer, so caching it would only pin frontier-sized frames in
+    executor memory for nothing.  Returns ``dropped=None, caches=[]``."""
     with_t = df.withColumn("_tmpl", url_template(F.col("url")))
     cell_counts = with_t.groupBy("host", "_tmpl").agg(
         F.count(F.lit(1)).alias("_cn")
@@ -129,14 +153,22 @@ def trap_template_cap(
             "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
         )
         w1 = Window.partitionBy("host", "_tmpl", "_salt").orderBy(*order)
-        ranked1 = salted.withColumn("_rn1", F.row_number().over(w1)).cache()
-        drop1 = ranked1.filter(F.col("_rn1") > cap).select(*cols)
+        ranked1 = salted.withColumn("_rn1", F.row_number().over(w1))
+        if want_dropped:
+            ranked1 = ranked1.cache()
+            drop1 = ranked1.filter(F.col("_rn1") > cap).select(*cols)
+        else:
+            drop1 = None
         stage2_in = ranked1.filter(F.col("_rn1") <= cap).drop("_rn1", "_salt")
     else:
         ranked1, drop1, stage2_in = None, None, trapped
     w2 = Window.partitionBy("host", "_tmpl").orderBy(*order)
-    ranked2 = stage2_in.withColumn("_rn2", F.row_number().over(w2)).cache()
+    ranked2 = stage2_in.withColumn("_rn2", F.row_number().over(w2))
+    if want_dropped:
+        ranked2 = ranked2.cache()
     admitted = ranked2.filter(F.col("_rn2") <= cap).select(*cols)
+    if not want_dropped:
+        return clean.unionByName(admitted), None, host_counts, []
     drop2 = ranked2.filter(F.col("_rn2") > cap).select(*cols)
     dropped = drop2 if drop1 is None else drop1.unionByName(drop2)
     kept = clean.unionByName(admitted)
@@ -191,8 +223,11 @@ def schedule_batch_counted(
     trap_dropped: DataFrame | None = None
     trap_caches: list[DataFrame] = []
     if trap_threshold is not None:
+        # the complement (and with it the trap-drop branches + their ranked
+        # caches) is only needed when the caller consumes ``rejected``
         df, trap_dropped, counts, trap_caches = trap_template_cap(
-            df, trap_threshold, trap_cap, order, salt_buckets
+            df, trap_threshold, trap_cap, order, salt_buckets,
+            want_dropped=want_rejected,
         )
         # counts are PRE-cap: a host the cap pushes back under budget still
         # takes the window path, where top-k of ≤ budget rows is the
@@ -255,7 +290,11 @@ def schedule_batch_counted(
 
 
 def per_host_topk_by(
-    df: DataFrame, budget: int, salt_buckets: int, order: list
+    df: DataFrame,
+    budget: int,
+    salt_buckets: int,
+    order: list,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host top-``budget`` with BUDGET CAP ELISION: a host whose row
     count is ≤ budget keeps all its rows, so only rows of OVER-budget hosts
@@ -268,8 +307,11 @@ def per_host_topk_by(
     probes into broadcasts when that output is small (no explicit hint — at
     web scale with 10^8 hosts the over-budget head may itself be too large
     to broadcast, and AQE then keeps a shuffle join, which is the correct
-    plan there)."""
-    counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    plan there).  ``counts`` lets a caller that already aggregated per-host
+    row counts (the trap cap's cell-census rollup) pass them in instead of
+    paying a second corpus-wide census."""
+    if counts is None:
+        counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
     over_hosts = counts.filter(F.col("_n") > budget).select("host")
     under = df.join(over_hosts, "host", "left_anti")
     over = df.join(over_hosts, "host", "left_semi")

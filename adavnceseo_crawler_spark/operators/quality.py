@@ -77,6 +77,9 @@ def gopher_repetition(
     stats.  Two shuffles, both keyed by doc_id.
     """
     ws = words_col(F.col(text_col))
+    # materialize the tokenized base once (lazy localCheckpoint, self-
+    # cleaning): it feeds both the gram explode and the final stats join,
+    # and without the cut the split + per-word alpha rlike run twice
     base = df.select(
         F.col(id_col),
         ws.alias("_ws"),
@@ -87,7 +90,7 @@ def gopher_repetition(
             F.filter(F.col("_ws"), lambda x: x.rlike("[A-Za-z]"))
         ).alias("_n_alpha"),
         F.col("_ws"),
-    )
+    ).localCheckpoint(eager=False)
     tagged = (
         "concat("
         f"transform({_grams_expr('_ws', 2)}, g -> named_struct('n', 2, 'gram', g)), "
@@ -279,17 +282,26 @@ def passage_scrub(
     expansion is a bounded ``sequence(s, s+n-1)`` explode on hot positions
     only, and the final reassembly is one doc-keyed aggregate.
     """
+    # tokenized base feeds three consumers (token stream, positional grams,
+    # per-doc totals) and the positional gram stream two (doc-frequency
+    # census + hot-gram coverage join): materialize each once via lazy
+    # localCheckpoint (self-cleaning) instead of re-splitting/re-generating
+    # per branch.  At larger corpora the gram materialization is bounded by
+    # the token count and spills MEMORY_AND_DISK; the alternative — two
+    # full regenerations of the gram stream — costs more than the spill.
     base = df.select(
         F.col(id_col),
         words_col(F.col(text_col)).alias("_ws"),
-    )
+    ).localCheckpoint(eager=False)
     toks = base.select(
         id_col, F.posexplode("_ws").alias("pos", "word")
     )
     gp = base.select(
         id_col,
         F.explode(F.expr(_pos_grams_expr("_ws", n))).alias("_g"),
-    ).select(id_col, F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram"))
+    ).select(
+        id_col, F.col("_g.s").alias("s"), F.col("_g.gram").alias("gram")
+    ).localCheckpoint(eager=False)
     hot = (
         gp.select("gram", id_col)
         .distinct()

@@ -271,15 +271,19 @@ def _bm25_score_postings(
     Shared tail of bm25_token_scores and the english-analyzer postings path
     in bm25_topk — identical arithmetic and fixed-term-order summation.
 
-    ``idx`` and ``dl`` are materialized ONCE via lazy localCheckpoint: each
-    feeds two consumers (idx -> the scored join AND the dfreq broadcast;
-    dl -> the scored join AND the stats broadcast), and without the cut
-    every broadcast build re-evaluates the whole tokenize/explode/aggregate
-    subtree (measured on q56 at sf0.1: 12 parquet scans / 8 Generate nodes
-    in one plan).  localCheckpoint rather than cache(): blocks are freed by
-    the ContextCleaner when the query's plan is dropped — nothing leaks
-    across bench reps."""
-    idx = idx.localCheckpoint(eager=False)
+    ``dl`` is materialized ONCE via lazy localCheckpoint: it feeds two
+    consumers (the scored join AND the stats broadcast), each of which
+    would otherwise re-evaluate the whole tokenize subtree (measured on
+    q56 at sf0.1: 12 parquet scans / 8 Generate nodes in one plan), and
+    its rows are (id, double) — a few bytes per document at any scale.
+    ``idx`` deliberately is NOT checkpointed here: in the standard-analyzer
+    path the query-term filter must stay visible in the logical plan so it
+    keeps pushing below the tf aggregate to the parquet scan (plan-pinned
+    by test_bm25_term_filter_pushed_below_aggregate); the english path
+    checkpoints its raw postings upstream instead, so idx is cheap on both
+    of its consumers either way.  localCheckpoint rather than cache():
+    blocks are freed by the ContextCleaner when the query's plan is
+    dropped — nothing leaks across bench reps."""
     dl = dl.localCheckpoint(eager=False)
     # exact integer sufficient statistics -> bit-identical avgdl on any
     # partitioning (and vs the sequential DuckDB oracle)
@@ -401,12 +405,16 @@ def bm25_topk(
             idx_raw.join(F.broadcast(vocab_hits), "_rt")
             .groupBy(id_col, "term")
             .agg(F.sum("_tfr").alias("tf"))
+            # idx feeds the scored join AND the dfreq broadcast: cut here so
+            # the vocab broadcast + re-aggregation don't run twice (the
+            # standard path can't take this cut — see _bm25_score_postings)
+            .localCheckpoint(eager=False)
         )
         scores = _bm25_score_postings(idx, dl, terms, k1, b, id_col)
     else:
         tokenized = df.select(
             F.col(id_col), doc_tokens(df, id_col, text_col).alias("tokens")
-        ).localCheckpoint(eager=False)
+        )
         scores = bm25_token_scores(tokenized, terms, k1, b, id_col, "tokens")
     return (
         scores.select(id_col, F.round("bm25", 6).alias("bm25"))

@@ -3221,8 +3221,10 @@ def q72(spark, sf):
     prefilter four), and without the cut Catalyst re-expands the whole
     upstream chain per reference (measured: ~90 parquet scans of the corpus
     in one plan).  In production each barrier is a written table (the
-    snapshot catalog's job); lazy persist is the single-query equivalent —
-    blocks are freed by the context cleaner when the frame is GC'd.  The
+    snapshot catalog's job); a lazy localCheckpoint is the single-query
+    equivalent — unlike persist(), whose CacheManager entry outlives the
+    query, checkpoint blocks are freed by the context cleaner when the
+    frame is GC'd.  The
     oracle replays every stage as CTEs."""
     from .operators.dedup import exact_dedup
     from .operators.quality import decontaminate, gopher_repetition
@@ -3238,7 +3240,7 @@ def q72(spark, sf):
         .alias("text"),
     )
     d0 = planted.filter(F.col("lang").isin("en", "es"))
-    dd = exact_dedup(d0).persist()
+    dd = exact_dedup(d0).localCheckpoint(eager=False)
     gate = gopher_repetition(
         dd,
         min_words=30,
@@ -3249,13 +3251,13 @@ def q72(spark, sf):
     kept = (
         dd.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
         .filter(F.col("doc_id") % 97 != 0)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bench = planted.filter(F.col("doc_id") % 97 == 0)
     dec = decontaminate(kept, bench, n=4)
     clean = kept.join(
         dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    ).persist()
+    ).localCheckpoint(eager=False)
     return quota_sample(clean, "source", 12, "doc_id", prefilter_factor=4.0)
 
 
@@ -3731,9 +3733,19 @@ def q80(spark, sf):
             F.when(F.col("lang_guess") != F.col("lang"), 1).otherwise(0)
         ).alias("mism"),
     )
+    # SINGLE pass over the grouped rows: the round-5 shape consumed ``g``
+    # from two branches (entropy aggregate + dominant-language ranking) and
+    # re-ran the whole 5-regex language detection for each (measured: two
+    # full document scans in one plan).  Both windows share the ``source``
+    # partitioning (one exchange), and the final groupBy(source) reuses it;
+    # the dominant language rides the aggregate as a conditional max on the
+    # rn=1 row — no join, detection runs once.
+    wdom = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("lang_guess")
+    )
     g2 = g.withColumn(
         "tot", F.sum("cnt").over(Window.partitionBy("source"))
-    )
+    ).withColumn("rn", F.row_number().over(wdom))
     p = F.col("cnt") / F.col("tot")
     agg = g2.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("n_docs"),
@@ -3742,21 +3754,17 @@ def q80(spark, sf):
         # + 0.0 collapses IEEE -0.0 (single-language source) to +0.0 on
         # both engine and oracle sides
         F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("lang_entropy"),
+        F.max(F.when(F.col("rn") == 1, F.col("lang_guess"))).alias(
+            "dominant_lang"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("_domcnt"),
     )
-    wdom = Window.partitionBy("source").orderBy(
-        F.desc("cnt"), F.asc("lang_guess")
-    )
-    dom = (
-        g.withColumn("rn", F.row_number().over(wdom))
-        .filter(F.col("rn") == 1)
-        .select("source", F.col("lang_guess").alias("dominant_lang"), "cnt")
-    )
-    return agg.join(dom, "source").select(
+    return agg.select(
         "source",
         "n_docs",
         "n_langs",
         "dominant_lang",
-        F.round(F.col("cnt") / F.col("n_docs"), 6).alias("dominant_frac"),
+        F.round(F.col("_domcnt") / F.col("n_docs"), 6).alias("dominant_frac"),
         F.round(F.col("mismatches") / F.col("n_docs"), 6).alias("mismatch_frac"),
         "lang_entropy",
     )
@@ -4020,12 +4028,15 @@ def q83(spark, sf):
 )
 def q84(spark, sf):
     """Trap-capped scheduling (operators/politeness.trap_template_cap via
-    schedule_batch_counted — the exact code path plans/round.py wires in):
+    the lazy schedule_batch — the same cap/census/window operators
+    plans/round.py wires in through schedule_batch_counted, minus the
+    count jobs and complement caches that entry point adds for the crawl
+    loop's bookkeeping; identical row set, one job at the sink):
     calendar-trap cells above the threshold admit their top-3 per round
     while letter-path URLs pass through; then the per-host politeness
     budget and the global cut.  The oracle replays the cell census + cap
     rank + budget rank as SQL windows."""
-    from .operators.politeness import schedule_batch_counted
+    from .operators.politeness import schedule_batch
 
     d = _t(spark, sf, "documents").select("doc_id")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
@@ -4046,7 +4057,7 @@ def q84(spark, sf):
         ((F.col("doc_id") * 37 % 1000) / 10.0).alias("score"),
         F.col("doc_id").alias("seq"),
     )
-    sched, _, _, _ = schedule_batch_counted(
+    sched = schedule_batch(
         frontier, budget=5, batch_size=30, salt_buckets=4,
         trap_threshold=20, trap_cap=3,
     )
