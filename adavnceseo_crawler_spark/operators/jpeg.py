@@ -4,10 +4,10 @@ Closes the "JPEG = NotImplementedError" boundary in multimodal.decode_real
 for the single most common web image format.  Everything here is the public
 ITU-T T.81 spec: the Annex K quantization/Huffman tables, the zigzag order,
 the canonical-Huffman code assignment, byte stuffing, and the JFIF
-component layout.  Reference parity target: the reference pipeline decodes
-crawled images with PIL (image_processor.py's thumbnailing path); this is
-the sandbox-honest stand-in with the same decode semantics for baseline
-sequential JPEGs.
+component layout.  The reference crawler never decodes images — it only
+extracts image URLs and attributes from HTML (html_parser.py:168-175) — so
+this codec is part of the task-mandated multimodal pipeline surface, not a
+reference-parity port.
 
 Encoder: baseline sequential DCT, 8-bit, grayscale or color (4:4:4 or
 4:2:0), libjpeg-style quality scaling (quality=100 -> all-ones quant
@@ -428,9 +428,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker sync at {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81 B.1.1.2)
+        while payload[pos + 1] == 0xFF and pos + 5 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length field)
+            pos += 2
+            continue
         size = int.from_bytes(payload[pos + 2:pos + 4], "big")
         body = payload[pos + 4:pos + 2 + size]
         pos += 2 + size

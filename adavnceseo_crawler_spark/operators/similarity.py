@@ -218,15 +218,21 @@ def lsh_ann_join(
     )
     if broadcast_queries:
         bq = F.broadcast(bq)
-    cand = (
+    # score BEFORE the cross-table dedup: a pair that meets in several
+    # tables scores identically each time, so dropDuplicates after the
+    # cosine keeps the same rows while the dedup exchange carries
+    # (query_id, vec_id, cos) — a few bytes — instead of two dim-sized
+    # vectors per candidate (guide: shuffle metadata, not payloads)
+    scored = (
         bi.join(bq, ["tbl", "bucket"])
-        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_col(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("cos"),
+        )
         .dropDuplicates([query_id_col, id_col])
-    )
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_col(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
     )
     from pyspark.sql import Window
 

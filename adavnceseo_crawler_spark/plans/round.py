@@ -147,9 +147,18 @@ def recrawl_rows_for(
         F.desc("priority"), F.desc("age_days"), F.asc("url_hash")
     ).limit(cfg.recrawl_top)
     for ex in exclude:
-        cand = cand.join(
-            F.broadcast(ex.select("url_hash")), "url_hash", "left_anti"
+        # ADVICE r5: broadcast the SMALL side.  ``ex`` can be the entire
+        # live frontier (run_round passes exclude=(frontier, scheduled)),
+        # and a broadcast hint never falls back by size — collecting a
+        # multi-million-row frontier to the driver is an OOM.  ``cand`` is
+        # bounded by recrawl_top, so semi-probe the exclude scan with the
+        # broadcast candidate hashes (ex is scanned, never shuffled), then
+        # anti-join the bounded hit set back — the same probe pattern as
+        # round.py's dedup stage.
+        hits = ex.select("url_hash").join(
+            F.broadcast(cand.select("url_hash")), "url_hash", "left_semi"
         )
+        cand = cand.join(F.broadcast(hits), "url_hash", "left_anti")
     latest = hist.groupBy("url_hash").agg(
         F.max_by("url", "round").alias("url"),
         F.max_by("host", "round").alias("host"),
@@ -274,6 +283,12 @@ def run_round(
         score_expr = score_expr + F.lit(cfg.recrawl_weight) * F.coalesce(
             F.col("score"), F.lit(0.0)
         )
+    if cfg.recrawl_every:
+        # stash the carried Cho–G-M priority before the scheduling score
+        # overwrites the column: a compact round rewrites un-scheduled rows
+        # into the new frontier base and must restore THIS value (the
+        # blended scheduling score would re-blend next round — feedback)
+        cand = cand.withColumn("_carried", F.col("score"))
     cand = (
         cand
         .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")))
@@ -655,7 +670,17 @@ def run_round(
             "url_hash",
             "host",
             "depth",
-            F.lit(None).cast("double").alias("score"),
+            # ADVICE r5: with freshness re-crawl on, a revived row that is
+            # not scheduled before the next compact round must keep its
+            # carried Cho–G-M priority (stashed as _carried before the
+            # scheduling score overwrote the column); plain links carry
+            # NULL either way.  With the feature off the literal keeps
+            # rounds byte-identical to the r1-4 behavior (sim parity).
+            (
+                F.col("_carried")
+                if cfg.recrawl_every
+                else F.lit(None).cast("double")
+            ).alias("score"),
             "discovered_ts",
             "seq",
             "retries",

@@ -669,3 +669,52 @@ def test_streaming_dedup_across_drains(spark, tmp_path):
     assert {"brand new A", "brand new B"} <= texts
     assert not {r for r in got2.groupBy("text_hash").count().collect()
                 if r["count"] > 1}
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """ADVICE r5: spec-legal 0xFF fill bytes before a marker (T.81
+    B.1.1.2) and standalone TEM markers must not desync the segment walk —
+    real-world baseline JPEGs pad with them, and the old walk either raised
+    'bad JPEG marker sync' or misparsed them as length-prefixed."""
+    import numpy as np
+
+    from adavnceseo_crawler_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from adavnceseo_crawler_spark.operators.multimodal import synth_pixels
+
+    px = synth_pixels(3, 16, 16)
+    enc = encode_jpeg(px, quality=100)
+    want = decode_jpeg(enc)
+    # inject a 0xFF fill byte and a standalone TEM (FF 01) before the first
+    # DQT segment (right after the SOI + APP0-or-DQT boundary at offset 2)
+    padded = enc[:2] + b"\xff" + enc[2:]            # FF fill before marker
+    assert np.array_equal(decode_jpeg(padded), want)
+    padded2 = enc[:2] + b"\xff\x01" + enc[2:]       # standalone TEM
+    assert np.array_equal(decode_jpeg(padded2), want)
+    padded3 = enc[:2] + b"\xff\xff\xff\x01\xff" + enc[2:]  # both, stacked
+    assert np.array_equal(decode_jpeg(padded3), want)
+
+
+def test_extract_features_corrupt_payload_falls_back(spark):
+    """ADVICE r5: a corrupt payload (truncated GIF / JPEG with a bogus
+    component id) must flag decoded=false and take the stub path, never
+    fail the Spark task — codecs raise IndexError/KeyError/StopIteration
+    on malformed bytes, not just ValueError."""
+    from adavnceseo_crawler_spark.operators.multimodal import (
+        MEDIA,
+        encode_gif,
+        extract_features,
+        synth_pixels,
+    )
+
+    good = encode_gif(synth_pixels(1, 8, 6))
+    rows = [
+        (0, "image", good, ("image/gif", 8, 6, None)),
+        (1, "image", good[:20], ("image/gif", 8, 6, None)),     # truncated
+        (2, "image", b"\xff\xd8\xff\xda\x00\x04\x01\x00", ("image/jpeg", 8, 6, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    out = {
+        r["media_id"]: r["decoded"]
+        for r in extract_features(media, decode="real").collect()
+    }
+    assert out == {0: True, 1: False, 2: False}, out

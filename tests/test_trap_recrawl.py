@@ -245,3 +245,67 @@ def test_recrawl_reenqueues_and_ranks_changed_pages(spark, tmp_path):
     assert urls == {
         "https://h0.example.com/p2", "https://h0.example.com/p4"
     }, urls
+
+
+def test_compact_round_keeps_carried_refresh_score(spark, tmp_path):
+    """ADVICE r5: with freshness re-crawl enabled, a frontier row carrying a
+    Cho-G-M refresh priority that is NOT scheduled before a compact round
+    must keep its carried score through the frontier-base rewrite (compact
+    rounds used to null it, silently reverting the revived row to a plain
+    link — and the restored value must be the CARRIED priority, not the
+    blended scheduling score)."""
+    from adavnceseo_crawler_spark import schemas
+    from adavnceseo_crawler_spark.catalog import SnapshotCatalog
+    from adavnceseo_crawler_spark.config import CrawlConfig
+    from adavnceseo_crawler_spark.functions.urls import host_col, url_hash
+    from adavnceseo_crawler_spark.plans import loop
+    from adavnceseo_crawler_spark.plans.round import round_ts
+
+    ts = dt.datetime(2024, 1, 1)
+    web = spark.createDataFrame(
+        [("https://a.example.com/article/1", ts,
+          b"<html><body><p>a</p></body></html>", "a", "en")],
+        schemas.PAGES,
+    )
+    # batch_size=1 and compact_every=1: the /article/ seed outranks the
+    # injected carried row (pattern weight 1.5 vs 1.0 + 0.1 carried), so
+    # the carried row is the compact leftover
+    cfg = CrawlConfig(
+        politeness_budget=5, batch_size=1, max_rounds=1,
+        compact_every=1, recrawl_every=4, recrawl_weight=1.0,
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    seeds = spark.createDataFrame(
+        [("https://a.example.com/article/1",)], "url string"
+    )
+    loop.bootstrap(
+        spark, cat, cfg, seeds, web,
+        spark.createDataFrame([], schemas.ROBOTS),
+    )
+    carried = (
+        spark.createDataFrame(
+            [("https://b.example.com/y", 0.1)], "url string, score double"
+        )
+        .select(
+            F.lit(0).alias("round"),
+            "url",
+            url_hash(F.col("url")).alias("url_hash"),
+            host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.col("score"),
+            F.lit(round_ts(0)).alias("discovered_ts"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(0).alias("retries"),
+        )
+    )
+    cat.commit("frontier", carried, mode="append", meta={"round": 0})
+    # re-record the bootstrap checkpoint so resume's rollback keeps the
+    # injected row (appends after a checkpoint are rolled back by design)
+    loop._checkpoint(spark, cat, -1, {"next_consumed_rows": 0})
+    stats = loop.run_crawl(spark, cat, cfg)
+    assert stats[0]["scheduled"] == 1 and stats[0]["fetched"] == 1
+    rows = {
+        r["url"]: r["score"]
+        for r in cat.read("frontier").select("url", "score").collect()
+    }
+    assert rows["https://b.example.com/y"] == 0.1, rows
