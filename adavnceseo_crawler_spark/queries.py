@@ -1831,7 +1831,12 @@ def q54(spark, sf):
     from .operators.search import bm25_best_fields, doc_tokens
 
     d = _t(spark, sf, "documents")
-    base = d.select("doc_id", doc_tokens(d).alias("tokens"))
+    # tokenize once: all three field frames are slices of this array, and
+    # each field scorer consumes its frame from several subplans (idx,
+    # dfreq, dl) — without the cut the corpus re-tokenizes ~9x
+    base = d.select("doc_id", doc_tokens(d).alias("tokens")).localCheckpoint(
+        eager=False
+    )
     fields = {
         "title": base.select("doc_id", F.slice("tokens", 1, 5).alias("tokens")),
         "description": base.select(
@@ -3221,10 +3226,10 @@ def q72(spark, sf):
     prefilter four), and without the cut Catalyst re-expands the whole
     upstream chain per reference (measured: ~90 parquet scans of the corpus
     in one plan).  In production each barrier is a written table (the
-    snapshot catalog's job); a lazy localCheckpoint is the single-query
-    equivalent — unlike persist(), whose CacheManager entry outlives the
-    query, checkpoint blocks are freed by the context cleaner when the
-    frame is GC'd.  The
+    snapshot catalog's job); lazy persist is the single-query equivalent
+    (kept as persist(), not localCheckpoint: the barrier shape and the
+    lang-filter pushdown are plan-pinned by test_plans, and a checkpoint
+    would hide both from the inspectable plan).  The
     oracle replays every stage as CTEs."""
     from .operators.dedup import exact_dedup
     from .operators.quality import decontaminate, gopher_repetition
@@ -3240,7 +3245,7 @@ def q72(spark, sf):
         .alias("text"),
     )
     d0 = planted.filter(F.col("lang").isin("en", "es"))
-    dd = exact_dedup(d0).localCheckpoint(eager=False)
+    dd = exact_dedup(d0).persist()
     gate = gopher_repetition(
         dd,
         min_words=30,
@@ -3251,13 +3256,13 @@ def q72(spark, sf):
     kept = (
         dd.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
         .filter(F.col("doc_id") % 97 != 0)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     bench = planted.filter(F.col("doc_id") % 97 == 0)
     dec = decontaminate(kept, bench, n=4)
     clean = kept.join(
         dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
+    ).persist()
     return quota_sample(clean, "source", 12, "doc_id", prefilter_factor=4.0)
 
 

@@ -54,4 +54,51 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_WARM_START", "1") != "0":
+        _warm_start(spark)
     return spark
+
+
+def _warm_start(spark: SparkSession) -> None:
+    """One-time per-session JVM/codegen/worker warm-up.
+
+    The first query of a fresh session pays JIT compilation of the whole
+    scan→codegen→noop path, parquet reader/writer class loading, and the
+    Arrow python-worker pool spin-up — measured ~4 s charged to whatever
+    query happens to run first (local[32], sf0.1: the first aggregate query
+    drops 5.2 s → 1.0 s once these paths are hot).  Touches NO input data:
+    a 1000-row synthetic parquet roundtrip in a temp dir, one shuffle
+    aggregate into the noop sink, and one trivial pandas UDF across all
+    cores (the plans/loop.py prewarm_python_workers pattern, hoisted to
+    session creation so analytic sessions get it too).  Disable with
+    SPARK_GRAFT_WARM_START=0."""
+    if getattr(spark, "_graft_warmed", False):
+        return
+    spark._graft_warmed = True
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="spark_graft_warm_")
+    try:
+        spark.range(1000, numPartitions=4).selectExpr(
+            "id", "cast(id as string) s", "cast(id as double) x"
+        ).write.mode("overwrite").parquet(f"{d}/t")
+        spark.read.parquet(f"{d}/t").groupBy("s").agg(
+            F.sum("x")
+        ).write.mode("overwrite").format("noop").save()
+
+        @F.pandas_udf("long")
+        def _noop(s: pd.Series) -> pd.Series:
+            return s
+
+        cores = spark.sparkContext.defaultParallelism
+        spark.range(cores * 4, numPartitions=cores).select(
+            _noop(F.col("id"))
+        ).count()
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
