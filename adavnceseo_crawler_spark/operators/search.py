@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 
 FIELD_WEIGHTS = (("title", 3.0), ("description", 2.0), ("text", 1.0))
 
+# english-analyzer vocabulary guard: above this many raw-term hits the
+# driver-side literal mapping would grow without bound, so bm25_topk falls
+# back to the distributed broadcast join (see the analyzer='english' path)
+_VOCAB_HIT_CAP = 10000
+
 
 def _tf(col: Column, term: str) -> Column:
     return F.regexp_count(F.lower(col), F.lit(re.escape(term.lower()))).cast("double")
@@ -363,8 +368,9 @@ def bm25_topk(
     out) and dl counts post-stopword tokens, so dl comes straight from the
     UNSTEMMED array; raw-term tf aggregates first, then only the distinct
     raw terms pass the stem chain, and raw terms stemming into a query term
-    broadcast-join back onto the raw postings.  Row-for-row identical to
-    stemming occurrences (same mapping applied per distinct token)."""
+    re-enter the raw postings as a literal filter+CASE (or a broadcast join
+    past _VOCAB_HIT_CAP).  Row-for-row identical to stemming occurrences
+    (same mapping applied per distinct token)."""
     if analyzer == "english":
         raw = F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9']+"),
@@ -395,21 +401,58 @@ def bm25_topk(
                 F.coalesce(F.col("_dln"), F.lit(0)).cast("double").alias("dl"),
             )
         )
-        vocab_hits = (
-            idx_raw.select("_rt")
-            .distinct()
-            .withColumn("term", en_stem(F.col("_rt")))
-            .filter(F.col("term").isin(*terms))
+        # Stem the distinct vocabulary in ONE tiny job and collect the hit
+        # set (raw terms whose stem is a query term — bounded by the stem
+        # preimage of the query, not by corpus size), then fold the raw→stem
+        # mapping into the postings scan as literal predicates.  This
+        # replaces a broadcast build + a second checkpoint whose plans both
+        # re-embedded the 57-rule stem chain: with AQE every lazy
+        # localCheckpoint compiles and materializes its query stages
+        # up-front, so each extra barrier cost a full plan→codegen→job
+        # round-trip (measured: 4-5 s of q56's 5.9 s wall at sf0.1 was
+        # these two builds, not data).  _VOCAB_HIT_CAP guards the
+        # degenerate-vocabulary case: past it we keep the broadcast join
+        # rather than grow the literal CASE without bound.
+        # The checkpoint between distinct() and the stem chain is a
+        # CARDINALITY PIN, not a cache: without it Catalyst pushes the
+        # term-filter (which embeds the 57-rule chain) below the distinct
+        # aggregate, so the chain runs per POSTING row again — exactly the
+        # per-occurrence cost this path exists to avoid (measured at sf0.1:
+        # 2.2 s vs 0.2 s for the vocab job; the round-5 "stem distinct
+        # vocabulary" fix was silently undone by that pushdown).
+        vocab = idx_raw.select("_rt").distinct().localCheckpoint(eager=False)
+        vocab_hits = vocab.withColumn("term", en_stem(F.col("_rt"))).filter(
+            F.col("term").isin(*terms)
         )
-        idx = (
-            idx_raw.join(F.broadcast(vocab_hits), "_rt")
-            .groupBy(id_col, "term")
-            .agg(F.sum("_tfr").alias("tf"))
-            # idx feeds the scored join AND the dfreq broadcast: cut here so
-            # the vocab broadcast + re-aggregation don't run twice (the
-            # standard path can't take this cut — see _bm25_score_postings)
-            .localCheckpoint(eager=False)
-        )
+        hits = vocab_hits.limit(_VOCAB_HIT_CAP + 1).collect()
+        if len(hits) > _VOCAB_HIT_CAP:
+            idx = (
+                idx_raw.join(F.broadcast(vocab_hits), "_rt")
+                .groupBy(id_col, "term")
+                .agg(F.sum("_tfr").alias("tf"))
+            )
+        elif not hits:
+            idx = idx_raw.select(
+                F.col(id_col),
+                F.lit("").alias("term"),
+                F.col("_tfr").alias("tf"),
+            ).filter(F.lit(False))
+        else:
+            mapping = {r["_rt"]: r["term"] for r in hits}
+            stem_case = None
+            for rt in sorted(mapping):
+                branch = (F.col("_rt") == F.lit(rt), F.lit(mapping[rt]))
+                stem_case = (
+                    F.when(*branch)
+                    if stem_case is None
+                    else stem_case.when(*branch)
+                )
+            idx = (
+                idx_raw.filter(F.col("_rt").isin(*sorted(mapping)))
+                .withColumn("term", stem_case)
+                .groupBy(id_col, "term")
+                .agg(F.sum("_tfr").alias("tf"))
+            )
         scores = _bm25_score_postings(idx, dl, terms, k1, b, id_col)
     else:
         tokenized = df.select(
