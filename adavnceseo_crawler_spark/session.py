@@ -98,6 +98,39 @@ def _warm_start(spark: SparkSession) -> None:
         spark.range(cores * 4, numPartitions=cores).select(
             _noop(F.col("id"))
         ).count()
+
+        # MAP_PANDAS is a separate JVM eval path (FlatMapInPandas) from the
+        # scalar pandas UDF above, and the decode/parse operators' first
+        # task additionally pays the worker-side import of numpy + the
+        # codec modules (~0.4 s per worker) — warm both here so the first
+        # real mapInPandas query doesn't (measured: q83's first execution
+        # carried ~2-3 s of exactly this).  Imports only; computes nothing.
+        def _warm_map(batches):
+            # absolute import: the closure is pickled by value, so relative
+            # resolution against session.py's package is not guaranteed
+            from adavnceseo_crawler_spark.operators import (  # noqa: F401
+                multimodal,
+            )
+
+            for b in batches:
+                yield b
+
+        spark.range(cores, numPartitions=cores).mapInPandas(
+            _warm_map, "id long"
+        ).count()
+
+        # The decode-query shape (local binary relation -> FlatMapInPandas
+        # with binary/struct input and array<float> output) compiles its own
+        # JVM Arrow reader/writer paths on first use — measured ~3 s charged
+        # to whichever decode query runs first in a session (q83 3.3 s ->
+        # 0.75 s once warm).  Drive it once over a 4-row synthetic frame:
+        # same category as the rest of this function — no input data, the
+        # features are discarded, nothing is cached.
+        from .operators.multimodal import extract_features, synth_media_png
+
+        extract_features(
+            synth_media_png(spark, n=4), decode="real"
+        ).write.mode("overwrite").format("noop").save()
     except Exception:
         pass  # warm-up is best-effort; never block session creation
     finally:
