@@ -10,6 +10,13 @@ from __future__ import annotations
 
 import os
 
+# module-level: _warm_start's pandas UDF annotates with pd.Series, and with
+# ``from __future__ import annotations`` those hints are STRINGS resolved
+# against THIS module's globals at decoration time — a function-local import
+# leaves them unresolvable and pandas_udf raises UNSUPPORTED_SIGNATURE
+# (which the warm-up's best-effort except silently swallowed, disabling the
+# whole python-worker warm tail)
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -78,7 +85,6 @@ def _warm_start(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
-    import pandas as pd
     from pyspark.sql import functions as F
 
     d = tempfile.mkdtemp(prefix="spark_graft_warm_")
